@@ -1,0 +1,47 @@
+"""osqp_tpu — a TPU-native ADMM QP solver.
+
+A from-scratch JAX/XLA/Pallas re-design with the capabilities of the OSQP
+solver stack that the reference wrapper (/root/reference, OSQP.jl) exposes:
+
+    minimize    0.5 xᵀPx + qᵀx
+    subject to  l ≤ Ax ≤ u
+
+Layers (top to bottom, mirroring SURVEY.md §1):
+  * ``osqp_tpu.modeling``  — incremental modeling layer (MOI_wrapper analogue)
+  * ``osqp_tpu.Model``     — low-level lifecycle API (interface.jl analogue)
+  * ``osqp_tpu.core``      — the jitted ADMM engine (the C core analogue;
+                             dense-Cholesky reduced KKT, vmappable)
+  * ``osqp_tpu.batch``     — vmapped/sharded batched solver (MPC workloads)
+  * ``osqp_tpu.parallel``  — device-mesh sharding + consensus ADMM
+"""
+
+from . import constants
+from .constants import (
+    OSQP_INFTY,
+    SOLUTION_PRESENT,
+    STATUS_MAP,
+    UPDATABLE_DATA,
+    UPDATABLE_SETTINGS,
+)
+from .core import DynParams, dyn_from_settings, solve, solve_scaled
+from .interface import Model, version
+from .settings import Settings
+from .types import Info, QPData, Results, ScalingData, SolveOutput
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Model",
+    "Settings",
+    "Info",
+    "Results",
+    "QPData",
+    "solve",
+    "version",
+    "constants",
+    "OSQP_INFTY",
+    "STATUS_MAP",
+    "SOLUTION_PRESENT",
+    "UPDATABLE_DATA",
+    "UPDATABLE_SETTINGS",
+]

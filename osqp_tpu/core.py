@@ -1,0 +1,459 @@
+"""TPU-native ADMM core.
+
+Re-implements, as one jit-compiled functional pipeline, the C solver loop whose
+observable contract the reference wrapper pins down (SURVEY.md §2.2; call stack
+/root/reference/src/interface.jl:164-217 and the Workspace mirror
+src/types.jl:173-217):
+
+  * alpha-relaxed ADMM with per-constraint rho vector,
+  * reduced-KKT solve ``(P+σI+AᵀρA) x̃ = σx − q + Aᵀ(ρ∘z − y)`` via dense
+    Cholesky (the MXU-friendly re-architecture of QDLDL's sparse LDLᵀ),
+  * residual-based termination with eps_abs/eps_rel (unscaled unless
+    ``scaled_termination``), checked every ``check_termination`` iterations,
+  * primal/dual infeasibility certificates from the δy/δx sequences,
+  * divergence → Non_convex status,
+  * deterministic adaptive rho with equality-constraint boosting and
+    in-loop refactorization,
+  * "inaccurate" statuses via a final 10× -tolerance check at max_iter.
+
+Everything is a pure function of pytrees: ``vmap`` gives the batched MPC
+front-end, ``shard_map`` shards the batch across a TPU mesh. No Python control
+flow depends on data — a single XLA executable per problem shape.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import constants as C
+from .linalg import chol_factor, chol_solve, inf_norm, reduced_kkt
+from .scaling import identity_scaling, ruiz_equilibrate
+from .types import DynParams, QPData, ScalingData, SolveOutput
+
+_DIV_GUARD = 1e-10
+
+
+# ---------------------------------------------------------------------------
+# rho vector (C core set_rho_vec semantics; SURVEY.md §2.2 "Adaptive rho")
+# ---------------------------------------------------------------------------
+
+def constraint_masks(lbar, ubar):
+    """Classify constraints on *scaled* bounds: loose / inequality / equality."""
+    loose = (lbar <= -C.INFTY_THRESH) & (ubar >= C.INFTY_THRESH)
+    eq = (~loose) & (ubar - lbar < C.RHO_TOL)
+    return loose, eq
+
+
+def build_rho_vec(loose, eq, rho_bar):
+    rho_bar = jnp.clip(rho_bar, C.RHO_MIN, C.RHO_MAX)
+    rho_eq = jnp.clip(C.RHO_EQ_OVER_RHO_INEQ * rho_bar, C.RHO_MIN, C.RHO_MAX)
+    rho_vec = jnp.where(loose, C.RHO_MIN, jnp.where(eq, rho_eq, rho_bar))
+    rho_vec = rho_vec.astype(jnp.result_type(rho_bar))
+    return rho_vec, 1.0 / rho_vec
+
+
+# ---------------------------------------------------------------------------
+# Residuals and termination checks
+# ---------------------------------------------------------------------------
+
+class ResInfo(NamedTuple):
+    pri_res: jnp.ndarray
+    dua_res: jnp.ndarray
+    pri_norm: jnp.ndarray
+    dua_norm: jnp.ndarray
+
+
+def residual_norms(sdata: QPData, scal: ScalingData, dyn: DynParams, x, y, z):
+    """pri_res = ‖Ax−z‖∞, dua_res = ‖Px+q+Aᵀy‖∞ plus their eps_rel
+    normalizations, unscaled unless ``scaled_termination`` (Settings:120-122,
+    130 of reference types.jl)."""
+    dtype = x.dtype
+    st = dyn.scaled_termination.astype(bool)
+    Einv = jnp.where(st, jnp.ones_like(scal.Einv), scal.Einv)
+    Dinv = jnp.where(st, jnp.ones_like(scal.Dinv), scal.Dinv)
+    cinv = jnp.where(st, jnp.ones_like(scal.cinv), scal.cinv)
+
+    Ax = sdata.A @ x
+    Px = sdata.P @ x
+    Aty = sdata.A.T @ y
+
+    pri_res = inf_norm(Einv * (Ax - z))
+    pri_norm = jnp.maximum(inf_norm(Einv * Ax), inf_norm(Einv * z))
+    dua_res = cinv * inf_norm(Dinv * (Px + sdata.q + Aty))
+    dua_norm = cinv * jnp.maximum(
+        jnp.maximum(inf_norm(Dinv * Px), inf_norm(Dinv * Aty)),
+        inf_norm(Dinv * sdata.q),
+    )
+    return ResInfo(pri_res.astype(dtype), dua_res.astype(dtype),
+                   pri_norm.astype(dtype), dua_norm.astype(dtype))
+
+
+def primal_infeasibility(sdata: QPData, scal: ScalingData, dy_bar, eps):
+    """Primal infeasibility certificate test on the dual step δy
+    (SURVEY.md §2.2; reference test/primal_infeasibility.jl behavior):
+    ‖Aᵀδy‖∞ ≤ ε‖δy‖∞ and uᵀ(δy)₊ + lᵀ(δy)₋ < −ε‖δy‖∞, with infinite bounds
+    requiring the matching component of δy to vanish. Computed unscaled."""
+    m = dy_bar.shape[0]
+    if m == 0:
+        return jnp.asarray(False), dy_bar
+    dtype = dy_bar.dtype
+    dy = scal.cinv * scal.E * dy_bar  # unscaled δy
+    nrm = inf_norm(dy)
+    s = 1.0 / jnp.maximum(nrm, jnp.asarray(_DIV_GUARD, dtype))
+    dyn_ = dy * s
+
+    # Aᵀδy (unscaled) = D⁻¹ Āᵀ E⁻¹ δy
+    At_dy = scal.Dinv * (sdata.A.T @ (scal.Einv * dyn_))
+    cond_mat = inf_norm(At_dy) <= eps
+
+    u = scal.Einv * sdata.u  # unscaled bounds
+    l = scal.Einv * sdata.l
+    u_inf = u >= C.INFTY_THRESH
+    l_inf = l <= -C.INFTY_THRESH
+    dyp = jnp.maximum(dyn_, 0.0)
+    dym = jnp.minimum(dyn_, 0.0)
+    bound_ok = jnp.all(
+        jnp.where(u_inf, dyp <= eps, True)
+        & jnp.where(l_inf, -dym <= eps, True)
+    )
+    lhs = jnp.sum(jnp.where(u_inf, 0.0, u * dyp)
+                  + jnp.where(l_inf, 0.0, l * dym))
+    detected = (nrm > eps) & cond_mat & bound_ok & (lhs < -eps)
+    return detected, dyn_
+
+
+def dual_infeasibility(sdata: QPData, scal: ScalingData, dx_bar, eps):
+    """Dual infeasibility certificate test on the primal step δx
+    (SURVEY.md §2.2; reference test/dual_infeasibility.jl behavior):
+    ‖Pδx‖∞ ≤ ε‖δx‖∞, qᵀδx < −ε‖δx‖∞, and Aδx a recession direction of [l,u].
+    Computed unscaled."""
+    dtype = dx_bar.dtype
+    dx = scal.D * dx_bar  # unscaled δx
+    nrm = inf_norm(dx)
+    s = 1.0 / jnp.maximum(nrm, jnp.asarray(_DIV_GUARD, dtype))
+    dxn = dx * s
+    dxn_bar = dx_bar * s
+
+    P_dx = scal.cinv * scal.Dinv * (sdata.P @ dxn_bar)
+    cond_P = inf_norm(P_dx) <= eps
+
+    q_u = scal.cinv * scal.Dinv * sdata.q
+    cond_q = jnp.dot(q_u, dxn) < -eps
+
+    m = sdata.A.shape[0]
+    if m > 0:
+        A_dx = scal.Einv * (sdata.A @ dxn_bar)
+        u = scal.Einv * sdata.u
+        l = scal.Einv * sdata.l
+        u_inf = u >= C.INFTY_THRESH
+        l_inf = l <= -C.INFTY_THRESH
+        cond_A = jnp.all(
+            jnp.where(u_inf, True, A_dx <= eps)
+            & jnp.where(l_inf, True, A_dx >= -eps)
+        )
+    else:
+        cond_A = jnp.asarray(True)
+    detected = (nrm > eps) & cond_P & cond_q & cond_A
+    return detected, dxn
+
+
+def termination_status(sdata, scal, dyn, x, y, z, dx_bar, dy_bar,
+                       eps_factor, accurate: bool):
+    """Full termination decision (C check_termination analogue). Returns
+    (status, ResInfo). ``accurate=False`` maps to the *_inaccurate codes
+    (reference constants.jl:10-12)."""
+    res = residual_norms(sdata, scal, dyn, x, y, z)
+    eps_abs = dyn.eps_abs * eps_factor
+    eps_rel = dyn.eps_rel * eps_factor
+
+    solved = ((res.pri_res <= eps_abs + eps_rel * res.pri_norm)
+              & (res.dua_res <= eps_abs + eps_rel * res.dua_norm))
+    prim_inf, _ = primal_infeasibility(
+        sdata, scal, dy_bar, dyn.eps_prim_inf * eps_factor)
+    dual_inf, _ = dual_infeasibility(
+        sdata, scal, dx_bar, dyn.eps_dual_inf * eps_factor)
+
+    # Diverging residuals => the problem is likely non-convex
+    # (reference test/non_convex.jl:24-41 behavior).
+    bad = (jnp.isnan(res.pri_res) | jnp.isnan(res.dua_res)
+           | (res.pri_res > C.OSQP_INFTY) | (res.dua_res > C.OSQP_INFTY))
+
+    s_solved = C.SOLVED if accurate else C.SOLVED_INACCURATE
+    s_pinf = C.PRIMAL_INFEASIBLE if accurate else C.PRIMAL_INFEASIBLE_INACCURATE
+    s_dinf = C.DUAL_INFEASIBLE if accurate else C.DUAL_INFEASIBLE_INACCURATE
+
+    status = jnp.where(
+        bad, C.NON_CONVEX,
+        jnp.where(solved, s_solved,
+                  jnp.where(prim_inf, s_pinf,
+                            jnp.where(dual_inf, s_dinf, C.RUNNING))))
+    return status.astype(jnp.int32), res
+
+
+# ---------------------------------------------------------------------------
+# The ADMM loop
+# ---------------------------------------------------------------------------
+
+class FactorState(NamedTuple):
+    """Cached linear-system state carried across solves (the analogue of the C
+    workspace keeping its LDLᵀ factor alive between osqp_solve calls — the
+    reference's "no refactorization unless P/A changed" contract, SURVEY.md
+    layer 3 notes)."""
+    L: jnp.ndarray        # Cholesky factor of P̄+σI+Āᵀdiag(ρ)Ā
+    rho_vec: jnp.ndarray
+    rho_inv: jnp.ndarray
+    rho_bar: jnp.ndarray
+
+
+def init_factor(sdata: QPData, sigma, rho_bar) -> FactorState:
+    dtype = sdata.P.dtype
+    loose, eq = constraint_masks(sdata.l, sdata.u)
+    rho_bar = jnp.clip(jnp.asarray(rho_bar, dtype), C.RHO_MIN, C.RHO_MAX)
+    rho_vec, rho_inv = build_rho_vec(loose, eq, rho_bar)
+    L = chol_factor(reduced_kkt(sdata.P, sdata.A, sigma, rho_vec))
+    return FactorState(L=L, rho_vec=rho_vec, rho_inv=rho_inv, rho_bar=rho_bar)
+
+
+class Carry(NamedTuple):
+    x: jnp.ndarray
+    y: jnp.ndarray
+    z: jnp.ndarray
+    x_prev: jnp.ndarray
+    y_prev: jnp.ndarray
+    L: jnp.ndarray          # Cholesky factor of the reduced KKT matrix
+    rho_vec: jnp.ndarray
+    rho_inv: jnp.ndarray
+    rho_bar: jnp.ndarray
+    it: jnp.ndarray         # int32
+    status: jnp.ndarray     # int32
+    pri_res: jnp.ndarray
+    dua_res: jnp.ndarray
+    rho_estimate: jnp.ndarray
+    rho_updates: jnp.ndarray  # int32
+
+
+def admm_step(sdata: QPData, dyn: DynParams, carry: Carry):
+    """One alpha-relaxed ADMM iteration (call stack SURVEY.md §3.2 steps 1-4)."""
+    P, q, A, l, u = sdata
+    alpha = dyn.alpha
+    rhs = dyn.sigma * carry.x - q + A.T @ (carry.rho_vec * carry.z - carry.y)
+    xt = chol_solve(carry.L, rhs)
+    zt = A @ xt
+    x_new = alpha * xt + (1.0 - alpha) * carry.x
+    v = alpha * zt + (1.0 - alpha) * carry.z + carry.rho_inv * carry.y
+    z_new = jnp.clip(v, l, u)
+    y_new = carry.rho_vec * (v - z_new)
+    return x_new, y_new, z_new
+
+
+def solve_scaled(sdata: QPData, scal: ScalingData, dyn: DynParams,
+                 x0, y0, z0, fs: FactorState):
+    """Run the ADMM loop on pre-scaled data from the given (scaled) start,
+    reusing the cached factorization ``fs``. Returns (SolveOutput, FactorState)
+    where the returned factor state reflects any in-loop adaptive-rho
+    refactorizations (reused by the next solve)."""
+    dtype = sdata.P.dtype
+    n = sdata.P.shape[0]
+    m = sdata.A.shape[0]
+
+    loose, eq = constraint_masks(sdata.l, sdata.u)
+
+    inf0 = jnp.asarray(jnp.inf, dtype)
+    carry0 = Carry(
+        x=x0, y=y0, z=z0, x_prev=x0, y_prev=y0, L=fs.L,
+        rho_vec=fs.rho_vec, rho_inv=fs.rho_inv,
+        rho_bar=jnp.asarray(fs.rho_bar, dtype),
+        it=jnp.int32(0), status=jnp.int32(C.RUNNING),
+        pri_res=inf0, dua_res=inf0,
+        rho_estimate=jnp.asarray(fs.rho_bar, dtype),
+        rho_updates=jnp.int32(0),
+    )
+
+    check_t = jnp.maximum(dyn.check_termination, 1)
+    rho_int = jnp.maximum(dyn.adaptive_rho_interval, 1)
+
+    def cond_fun(c: Carry):
+        return (c.status == C.RUNNING) & (c.it < dyn.max_iter)
+
+    def body_fun(c: Carry) -> Carry:
+        x_new, y_new, z_new = admm_step(sdata, dyn, c)
+        it = c.it + 1
+        dx_bar = x_new - c.x
+        dy_bar = y_new - c.y
+
+        do_check = (dyn.check_termination > 0) & (it % check_t == 0)
+        do_rho = ((dyn.adaptive_rho != 0) & (it % rho_int == 0))
+
+        def with_check(_):
+            status, res = termination_status(
+                sdata, scal, dyn, x_new, y_new, z_new, dx_bar, dy_bar,
+                jnp.asarray(1.0, dtype), accurate=True)
+            return status, res
+
+        def no_check(_):
+            res = residual_norms(sdata, scal, dyn, x_new, y_new, z_new)
+            return jnp.int32(C.RUNNING), res
+
+        def skip(_):
+            dummy = ResInfo(c.pri_res, c.dua_res,
+                            jnp.asarray(1.0, dtype), jnp.asarray(1.0, dtype))
+            return jnp.int32(C.RUNNING), dummy
+
+        # Residuals are needed if we check termination OR adapt rho this iter.
+        status, res = lax.cond(
+            do_check, with_check,
+            lambda _: lax.cond(do_rho, no_check, skip, None), None)
+
+        done = status != C.RUNNING
+
+        # ---- adaptive rho (C core compute_rho_estimate / adapt_rho) ----
+        pri_rel = res.pri_res / jnp.maximum(res.pri_norm,
+                                            jnp.asarray(_DIV_GUARD, dtype))
+        dua_rel = res.dua_res / jnp.maximum(res.dua_norm,
+                                            jnp.asarray(_DIV_GUARD, dtype))
+        ratio = pri_rel / jnp.maximum(dua_rel, jnp.asarray(_DIV_GUARD, dtype))
+        rho_est = jnp.clip(c.rho_bar * jnp.sqrt(ratio), C.RHO_MIN, C.RHO_MAX)
+        rho_est = jnp.where(jnp.isfinite(rho_est), rho_est, c.rho_bar)
+
+        trigger = (do_rho & ~done
+                   & ((rho_est > c.rho_bar * dyn.adaptive_rho_tolerance)
+                      | (rho_est < c.rho_bar / dyn.adaptive_rho_tolerance)))
+
+        def refactor(_):
+            new_vec, new_inv = build_rho_vec(loose, eq, rho_est)
+            newL = chol_factor(
+                reduced_kkt(sdata.P, sdata.A, dyn.sigma, new_vec))
+            return rho_est, new_vec, new_inv, newL, c.rho_updates + 1
+
+        def keep(_):
+            return c.rho_bar, c.rho_vec, c.rho_inv, c.L, c.rho_updates
+
+        rho_bar2, rho_vec2, rho_inv2, L2, rho_upd2 = lax.cond(
+            trigger, refactor, keep, None)
+
+        rho_est_out = jnp.where(do_rho, rho_est, c.rho_estimate)
+
+        return Carry(
+            x=x_new, y=y_new, z=z_new, x_prev=c.x, y_prev=c.y, L=L2,
+            rho_vec=rho_vec2, rho_inv=rho_inv2, rho_bar=rho_bar2, it=it,
+            status=status,
+            pri_res=jnp.where(do_check | do_rho, res.pri_res, c.pri_res),
+            dua_res=jnp.where(do_check | do_rho, res.dua_res, c.dua_res),
+            rho_estimate=rho_est_out, rho_updates=rho_upd2,
+        )
+
+    final = lax.while_loop(cond_fun, body_fun, carry0)
+
+    # ---- post-loop: max_iter handling + "inaccurate" statuses -------------
+    hit_max = final.status == C.RUNNING
+    dx_bar = final.x - final.x_prev
+    dy_bar = final.y - final.y_prev
+
+    approx_status, approx_res = termination_status(
+        sdata, scal, dyn, final.x, final.y, final.z, dx_bar, dy_bar,
+        jnp.asarray(C.INACCURATE_EPS_FACTOR, dtype), accurate=False)
+    allow_approx = (dyn.check_termination > 0) & (dyn.final_approx != 0)
+    status = jnp.where(
+        hit_max,
+        jnp.where(allow_approx & (approx_status != C.RUNNING),
+                  approx_status, C.MAX_ITER_REACHED),
+        final.status).astype(jnp.int32)
+    pri_res = jnp.where(hit_max, approx_res.pri_res, final.pri_res)
+    dua_res = jnp.where(hit_max, approx_res.dua_res, final.dua_res)
+
+    # ---- unscale + certificates + objective -------------------------------
+    x = scal.D * final.x
+    y = scal.cinv * scal.E * final.y
+    z = scal.Einv * final.z
+
+    _, prim_cert = primal_infeasibility(sdata, scal, dy_bar, dyn.eps_prim_inf)
+    _, dual_cert = dual_infeasibility(sdata, scal, dx_bar, dyn.eps_dual_inf)
+    if m == 0:
+        prim_cert = jnp.zeros((0,), dtype)
+
+    # Unscaled objective: 0.5 xᵀPx + qᵀx using scaled data:
+    # 0.5 x̄ᵀP̄x̄·c⁻¹ + c⁻¹ q̄ᵀx̄
+    obj = scal.cinv * (0.5 * jnp.dot(final.x, sdata.P @ final.x)
+                       + jnp.dot(sdata.q, final.x))
+    nan = jnp.asarray(jnp.nan, dtype)
+    obj = jnp.where(status == C.NON_CONVEX, nan, obj)
+    obj = jnp.where((status == C.PRIMAL_INFEASIBLE)
+                    | (status == C.PRIMAL_INFEASIBLE_INACCURATE),
+                    jnp.asarray(jnp.inf, dtype), obj)
+    obj = jnp.where((status == C.DUAL_INFEASIBLE)
+                    | (status == C.DUAL_INFEASIBLE_INACCURATE),
+                    jnp.asarray(-jnp.inf, dtype), obj)
+
+    out = SolveOutput(
+        x=x, y=y, z=z, status=status, iter=final.it,
+        pri_res=pri_res, dua_res=dua_res, obj_val=obj,
+        prim_cert=prim_cert, dual_cert=dual_cert,
+        rho_updates=final.rho_updates, rho_estimate=final.rho_estimate,
+        xbar=final.x, ybar=final.y, zbar=final.z,
+    )
+    fs_out = FactorState(L=final.L, rho_vec=final.rho_vec,
+                         rho_inv=final.rho_inv, rho_bar=final.rho_bar)
+    return out, fs_out
+
+
+# ---------------------------------------------------------------------------
+# One-shot functional entry (scale + solve); the Model class wraps the staged
+# version (scale once at setup, solve many times — interface.jl semantics).
+# ---------------------------------------------------------------------------
+
+def scale_problem(data: QPData, scaling_iters):
+    """Clip bounds to ±OSQP_INFTY (interface.jl:106-108) and Ruiz-equilibrate."""
+    l = jnp.clip(data.l, -C.OSQP_INFTY, C.OSQP_INFTY)
+    u = jnp.clip(data.u, -C.OSQP_INFTY, C.OSQP_INFTY)
+    data = data._replace(l=l, u=u)
+    n, m = data.P.shape[0], data.A.shape[0]
+    if isinstance(scaling_iters, int) and scaling_iters == 0:
+        return data, identity_scaling(n, m, data.P.dtype)
+    return ruiz_equilibrate(data, scaling_iters)
+
+
+def solve(data: QPData, dyn: DynParams, scaling_iters=10,
+          x0=None, y0=None) -> SolveOutput:
+    """Functional one-shot solve (jittable / vmappable). ``x0, y0`` unscaled."""
+    sdata, scal = scale_problem(data, scaling_iters)
+    dtype = sdata.P.dtype
+    n, m = sdata.P.shape[0], sdata.A.shape[0]
+    if x0 is None:
+        xb = jnp.zeros((n,), dtype)
+    else:
+        xb = scal.Dinv * x0.astype(dtype)
+    if y0 is None:
+        yb = jnp.zeros((m,), dtype)
+    else:
+        yb = scal.c * scal.Einv * y0.astype(dtype)
+    zb = sdata.A @ xb
+    fs = init_factor(sdata, dyn.sigma, dyn.rho_bar)
+    out, _ = solve_scaled(sdata, scal, dyn, xb, yb, zb, fs)
+    return out
+
+
+def dyn_from_settings(settings, dtype) -> DynParams:
+    """Build the traced parameter bundle from a Settings object."""
+    interval = settings.adaptive_rho_interval
+    if interval <= 0:
+        interval = C.ADAPTIVE_RHO_FIXED
+    f = lambda v: jnp.asarray(v, dtype)
+    i = lambda v: jnp.asarray(v, jnp.int32)
+    return DynParams(
+        rho_bar=f(settings.rho), sigma=f(settings.sigma),
+        alpha=f(settings.alpha),
+        eps_abs=f(settings.eps_abs), eps_rel=f(settings.eps_rel),
+        eps_prim_inf=f(settings.eps_prim_inf),
+        eps_dual_inf=f(settings.eps_dual_inf),
+        max_iter=i(settings.max_iter),
+        check_termination=i(settings.check_termination),
+        adaptive_rho=i(1 if settings.adaptive_rho else 0),
+        adaptive_rho_interval=i(interval),
+        adaptive_rho_tolerance=f(settings.adaptive_rho_tolerance),
+        scaled_termination=i(1 if settings.scaled_termination else 0),
+        final_approx=i(1),
+    )

@@ -1,0 +1,442 @@
+"""Low-level solver API: the ``Model`` lifecycle layer.
+
+TPU-native analogue of the reference's layer 2 (``/root/reference/src/
+interface.jl``): ``setup!`` (:35-162), ``solve!`` (:164-217), ``update!``
+(:235-440), ``update_settings!`` (:442-670), ``warm_start!`` (:672-732),
+``dimensions`` (:740). Instead of marshaling into a C workspace, the Model
+holds device-resident scaled problem data + a cached KKT factorization
+(``FactorState``) and invokes cached jit-compiled executables — the TPU
+analogue of the reference's zero-allocation re-solve contract
+(test/MOI_wrapper.jl:341-342): repeated solves never re-trace or re-compile.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import constants as C
+from .core import (dyn_from_settings, init_factor, scale_problem, solve_scaled)
+from .linalg import chol_factor
+from .polish import polish as _polish_fn
+from .settings import Settings
+from .sparse import CSCPattern, csc_from_matrix, symmetric_from_triu
+from .types import Info, QPData, Results
+
+__version__ = "0.1.0"
+
+
+# ---------------------------------------------------------------------------
+# Cached jitted executables (shared across Model instances; jax.jit caches by
+# shape/dtype so each problem size compiles exactly once per process).
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _scale_jit(data: QPData, scaling_iters):
+    return scale_problem(data, scaling_iters)
+
+
+@jax.jit
+def _factor_jit(sdata: QPData, sigma, rho_bar):
+    return init_factor(sdata, sigma, rho_bar)
+
+
+@jax.jit
+def _convexity_nan(Pbar, sigma):
+    n = Pbar.shape[0]
+    L = chol_factor(Pbar + sigma * jnp.eye(n, dtype=Pbar.dtype))
+    return jnp.any(jnp.isnan(L))
+
+
+_solve_jit = jax.jit(solve_scaled)
+_polish_jit = jax.jit(_polish_fn)
+
+
+@jax.jit
+def _rescale_P(P, D, c):
+    return (c * D[:, None]) * P * D[None, :]
+
+
+@jax.jit
+def _rescale_A(A, D, E):
+    return (E[:, None] * A) * D[None, :]
+
+
+def version() -> str:
+    """Analogue of OSQP.version (interface.jl:219-221)."""
+    return f"osqp-tpu {__version__}"
+
+
+class Model:
+    """Solver model: setup once, solve/update repeatedly.
+
+    Mirrors ``OSQP.Model`` (interface.jl:18-28). No finalizer needed — device
+    buffers are GC-managed by JAX.
+    """
+
+    def __init__(self):
+        self._is_setup = False
+
+    # ------------------------------------------------------------------ setup
+    def setup(self, P=None, q=None, A=None, l=None, u=None, **settings):
+        """Problem ingestion + scaling + factorization.
+
+        Dimension inference/validation mirrors interface.jl:45-99; triu(P)
+        enforcement :101-104; ±OSQP_INFTY clipping :106-108. Raises on
+        non-convex P + sigma (the C core's setup failure — test/non_convex.jl
+        :13-21).
+        """
+        t0 = time.perf_counter()
+        self.settings = Settings.from_kwargs(**settings)
+        dtype = self.settings.resolve_dtype()
+
+        # --- dimension inference (interface.jl:45-99) ---
+        if P is None:
+            if q is not None:
+                n = len(q)
+            elif A is not None:
+                n = np.asarray(A).shape[1] if not hasattr(A, "shape") else A.shape[1]
+            else:
+                raise ValueError("The problem does not have any variables!")
+        else:
+            n = P.shape[0]
+
+        m = 0 if A is None else A.shape[0]
+
+        if (A is None and (l is not None or u is not None)) or \
+           (A is not None and (l is None and u is None)):
+            raise ValueError("A must be supplied together with l and u")
+        if A is not None and l is None:
+            l = -np.inf * np.ones(m)
+        if A is not None and u is None:
+            u = np.inf * np.ones(m)
+
+        if P is None:
+            P = np.zeros((n, n))
+        if q is None:
+            q = np.zeros(n)
+        if A is None:
+            A = np.zeros((0, n))
+            l = np.zeros(0)
+            u = np.zeros(0)
+
+        q = np.asarray(q, dtype=np.float64).ravel()
+        l = np.asarray(l, dtype=np.float64).ravel()
+        u = np.asarray(u, dtype=np.float64).ravel()
+        if q.shape[0] != n:
+            raise ValueError("Incorrect dimension of q")
+        if l.shape[0] != m:
+            raise ValueError("Incorrect dimensions of l")
+        if u.shape[0] != m:
+            raise ValueError("Incorrect dimensions of u")
+
+        # --- CSC patterns for the in-place update contract ---
+        self._P_pat = csc_from_matrix(P, triu=True)
+        self._A_pat = csc_from_matrix(A, triu=False)
+        if self._P_pat.shape != (n, n):
+            raise ValueError("P must be square")
+        if self._A_pat.shape[1] != n:
+            raise ValueError("Incorrect dimensions of A")
+
+        self.n, self.m = int(n), int(m)
+        self._dtype = dtype
+        self._q_np = q
+        self._l_np = np.maximum(l, -C.OSQP_INFTY)
+        self._u_np = np.minimum(u, C.OSQP_INFTY)
+
+        self._push_data(first=True)
+        self._reset_start()
+        self._update_time = 0.0
+        self._setup_time = time.perf_counter() - t0
+        self._is_setup = True
+        return self
+
+    def _dense_P(self) -> np.ndarray:
+        return symmetric_from_triu(self._P_pat.to_dense())
+
+    def _push_data(self, first: bool) -> None:
+        """(Re)build device-side scaled data + factorization from host state."""
+        dtype = self._dtype
+        data = QPData(
+            P=jnp.asarray(self._dense_P(), dtype),
+            q=jnp.asarray(self._q_np, dtype),
+            A=jnp.asarray(self._A_pat.to_dense(), dtype),
+            l=jnp.asarray(self._l_np, dtype),
+            u=jnp.asarray(self._u_np, dtype),
+        )
+        sdata, scal = _scale_jit(data, jnp.int32(self.settings.scaling))
+        sigma = jnp.asarray(self.settings.sigma, dtype)
+        if bool(_convexity_nan(sdata.P, sigma)):
+            raise ValueError(
+                "Error in setup: P + sigma*I is not positive definite "
+                "(the problem is non-convex)")
+        self._sdata = sdata
+        self._scal = scal
+        self._fs = _factor_jit(sdata, sigma, jnp.asarray(self.settings.rho, dtype))
+
+    def _reset_start(self) -> None:
+        dtype = self._dtype
+        self._xbar = jnp.zeros((self.n,), dtype)
+        self._ybar = jnp.zeros((self.m,), dtype)
+        self._zbar = jnp.zeros((self.m,), dtype)
+
+    # ------------------------------------------------------------------ solve
+    def solve(self) -> Results:
+        """Run ADMM (+ optional polish); package Results with the reference's
+        NaN/certificate conventions (interface.jl:184-214)."""
+        if not self._is_setup:
+            raise RuntimeError(
+                "You are trying to solve an empty model. Please setup the "
+                "model before calling solve().")
+        t0 = time.perf_counter()
+        s = self.settings
+        dyn = dyn_from_settings(s, self._dtype)
+
+        if s.warm_start:
+            x0, y0, z0 = self._xbar, self._ybar, self._zbar
+        else:
+            x0 = jnp.zeros((self.n,), self._dtype)
+            y0 = jnp.zeros((self.m,), self._dtype)
+            z0 = jnp.zeros((self.m,), self._dtype)
+
+        if s.time_limit and s.time_limit > 0:
+            out, fs, elapsed_status = self._solve_time_limited(dyn, x0, y0, z0)
+        else:
+            out, fs = _solve_jit(self._sdata, self._scal, dyn, x0, y0, z0,
+                                 self._fs)
+            jax.block_until_ready(out.x)
+            elapsed_status = None
+        self._fs = fs
+        solve_time = time.perf_counter() - t0
+
+        status_val = int(out.status) if elapsed_status is None else elapsed_status
+        status = Info.status_from_val(status_val)
+
+        # ---- polish (host-gated on Solved, like the C core) ----
+        polish_time = 0.0
+        status_polish = 0
+        pol = None
+        if s.polish and status == "Solved":
+            tp = time.perf_counter()
+            pol = _polish_jit(
+                self._sdata, self._scal, dyn,
+                jnp.asarray(s.delta, self._dtype),
+                jnp.int32(s.polish_refine_iter),
+                out.xbar, out.ybar, out.pri_res, out.dua_res)
+            jax.block_until_ready(pol.x)
+            polish_time = time.perf_counter() - tp
+            status_polish = 1 if bool(pol.success) else -1
+
+        # ---- warm-start state for the next solve ----
+        self._xbar, self._ybar, self._zbar = out.xbar, out.ybar, out.zbar
+
+        # ---- package ----
+        use_pol = status_polish == 1
+        xs = np.asarray(pol.x if use_pol else out.x, dtype=np.float64)
+        ys = np.asarray(pol.y if use_pol else out.y, dtype=np.float64)
+        obj = float(pol.obj_val if use_pol else out.obj_val)
+        pri_res = float(pol.pri_res if use_pol else out.pri_res)
+        dua_res = float(pol.dua_res if use_pol else out.dua_res)
+
+        info = Info(
+            iter=int(out.iter),
+            status=status,
+            status_val=status_val,
+            status_polish=status_polish,
+            obj_val=obj,
+            pri_res=pri_res,
+            dua_res=dua_res,
+            setup_time=self._setup_time,
+            solve_time=solve_time,
+            update_time=self._update_time,
+            polish_time=polish_time,
+            run_time=self._update_time + solve_time + polish_time,
+            rho_updates=int(out.rho_updates),
+            rho_estimate=float(out.rho_estimate),
+        )
+        self._update_time = 0.0
+
+        nan_n = np.full(self.n, np.nan)
+        nan_m = np.full(self.m, np.nan)
+        if status in C.SOLUTION_PRESENT:
+            res = Results(x=xs, y=ys, info=info,
+                          prim_inf_cert=nan_m.copy(), dual_inf_cert=nan_n.copy())
+        else:
+            prim_cert = nan_m.copy()
+            dual_cert = nan_n.copy()
+            if status in ("Primal_infeasible", "Primal_infeasible_inaccurate"):
+                prim_cert = np.asarray(out.prim_cert, dtype=np.float64)
+            elif status in ("Dual_infeasible", "Dual_infeasible_inaccurate"):
+                dual_cert = np.asarray(out.dual_cert, dtype=np.float64)
+            res = Results(x=nan_n.copy(), y=nan_m.copy(), info=info,
+                          prim_inf_cert=prim_cert, dual_inf_cert=dual_cert)
+        if status == "Non_convex":
+            res.info.obj_val = float("nan")
+        return res
+
+    def _solve_time_limited(self, dyn, x0, y0, z0):
+        """Chunked host driver for time_limit (C core checks the clock inside
+        its iteration loop — test/basic.jl:210-240; here the host checks
+        between jitted chunks). Returns (out, fs, status_val)."""
+        s = self.settings
+        chunk = s.check_termination if s.check_termination > 0 else 25
+        chunk = max(10, min(int(chunk), 1000))
+        start = time.perf_counter()
+        total = 0
+        fs = self._fs
+        out = None
+        remaining = s.max_iter
+        while True:
+            this_chunk = min(chunk, remaining)
+            is_final = this_chunk == remaining
+            dyn_c = dyn._replace(
+                max_iter=jnp.int32(this_chunk),
+                final_approx=jnp.int32(1 if is_final else 0))
+            out, fs = _solve_jit(self._sdata, self._scal, dyn_c, x0, y0, z0, fs)
+            jax.block_until_ready(out.x)
+            total += int(out.iter)
+            remaining -= int(out.iter)
+            status_val = int(out.status)
+            timed_out = (time.perf_counter() - start) > s.time_limit
+            if status_val not in (C.MAX_ITER_REACHED, C.RUNNING):
+                break
+            if remaining <= 0:
+                break
+            if timed_out:
+                status_val = C.TIME_LIMIT_REACHED
+                break
+            x0, y0, z0 = out.xbar, out.ybar, out.zbar
+        out = out._replace(iter=jnp.int32(total))
+        return out, fs, status_val
+
+    # ----------------------------------------------------------------- update
+    def update(self, q=None, l=None, u=None, Px=None, Px_idx=None,
+               Ax=None, Ax_idx=None):
+        """In-place data update (interface.jl:235-440): value-only P/A updates
+        against the immutable setup sparsity pattern; bounds clipped to
+        ±OSQP_INFTY; scaling matrices from setup are reused (no
+        re-equilibration, matching the C core); P/A updates refactorize."""
+        self._check_setup()
+        t0 = time.perf_counter()
+        dtype = self._dtype
+        refactor = False
+        rho_refresh = False
+
+        if q is not None:
+            q = np.asarray(q, dtype=np.float64).ravel()
+            if q.shape[0] != self.n:
+                raise ValueError(f"q must have length n = {self.n}")
+            self._q_np = q
+        if l is not None:
+            l = np.asarray(l, dtype=np.float64).ravel()
+            if l.shape[0] != self.m:
+                raise ValueError(f"l must have length m = {self.m}")
+        if u is not None:
+            u = np.asarray(u, dtype=np.float64).ravel()
+            if u.shape[0] != self.m:
+                raise ValueError(f"u must have length m = {self.m}")
+        new_l = np.maximum(l, -C.OSQP_INFTY) if l is not None else self._l_np
+        new_u = np.minimum(u, C.OSQP_INFTY) if u is not None else self._u_np
+        if (l is not None) or (u is not None):
+            if np.any(new_l > new_u):
+                raise ValueError("l must be lower than or equal to u")
+            self._l_np = new_l
+            self._u_np = new_u
+            rho_refresh = True
+
+        if Px is not None:
+            self._P_pat.update_values(Px, Px_idx, name="P")
+            refactor = True
+        elif Px_idx is not None:
+            raise ValueError("Px must be supplied together with Px_idx")
+        if Ax is not None:
+            self._A_pat.update_values(Ax, Ax_idx, name="A")
+            refactor = True
+        elif Ax_idx is not None:
+            raise ValueError("Ax must be supplied together with Ax_idx")
+
+        # Re-scale changed pieces with the *setup* scaling (C semantics).
+        scal = self._scal
+        sdata = self._sdata
+        if q is not None:
+            sdata = sdata._replace(
+                q=scal.c * scal.D * jnp.asarray(self._q_np, dtype))
+        if (l is not None) or (u is not None):
+            sdata = sdata._replace(
+                l=scal.E * jnp.asarray(self._l_np, dtype),
+                u=scal.E * jnp.asarray(self._u_np, dtype))
+        if Px is not None:
+            sdata = sdata._replace(
+                P=_rescale_P(jnp.asarray(self._dense_P(), dtype),
+                             scal.D, scal.c))
+        if Ax is not None:
+            sdata = sdata._replace(
+                A=_rescale_A(jnp.asarray(self._A_pat.to_dense(), dtype),
+                             scal.D, scal.E))
+        self._sdata = sdata
+
+        if refactor or rho_refresh:
+            # P/A change → refactorization reusing the pattern (C core
+            # osqp_update_P/A); bounds change → rho_vec refresh (constraint
+            # types may flip loose/ineq/eq) + refactor.
+            sigma = jnp.asarray(self.settings.sigma, dtype)
+            if refactor and bool(_convexity_nan(sdata.P, sigma)):
+                raise ValueError(
+                    "Error in update: P + sigma*I is not positive definite")
+            self._fs = _factor_jit(sdata, sigma, self._fs.rho_bar)
+        self._update_time += time.perf_counter() - t0
+
+    def update_settings(self, **kwargs):
+        """Post-setup settings update (interface.jl:442-670): validates
+        against UPDATABLE_SETTINGS; a rho change rebuilds rho_vec and
+        refactorizes (osqp_update_rho)."""
+        self._check_setup()
+        if not kwargs:
+            return
+        old_rho = self.settings.rho
+        self.settings.update_inplace(**kwargs)
+        if "rho" in kwargs and self.settings.rho != old_rho:
+            sigma = jnp.asarray(self.settings.sigma, self._dtype)
+            self._fs = _factor_jit(self._sdata, sigma,
+                                   jnp.asarray(self.settings.rho, self._dtype))
+
+    # ------------------------------------------------------------- warm start
+    def warm_start(self, x=None, y=None):
+        """Warm-start semantics of osqp_warm_start{,_x,_y}
+        (interface.jl:672-732): providing only x zeroes the stored y and vice
+        versa (modcaches.jl:195-196 note). Iterates are stored scaled."""
+        self._check_setup()
+        dtype = self._dtype
+        scal = self._scal
+        if x is None and y is None:
+            raise ValueError("Unrecognized warm-start input: pass x and/or y")
+        if x is not None:
+            x = np.asarray(x, dtype=np.float64).ravel()
+            if x.shape[0] != self.n:
+                raise ValueError(f"Wrong dimension for variable x ({self.n})")
+            self._xbar = scal.Dinv * jnp.asarray(x, dtype)
+        else:
+            self._xbar = jnp.zeros((self.n,), dtype)
+        if y is not None:
+            y = np.asarray(y, dtype=np.float64).ravel()
+            if y.shape[0] != self.m:
+                raise ValueError(f"Wrong dimension for variable y ({self.m})")
+            self._ybar = scal.c * scal.Einv * jnp.asarray(y, dtype)
+        else:
+            self._ybar = jnp.zeros((self.m,), dtype)
+        self._zbar = self._sdata.A @ self._xbar
+
+    # ------------------------------------------------------------------ misc
+    def dimensions(self):
+        """(n, m), mirroring OSQP.dimensions (interface.jl:740-747)."""
+        self._check_setup()
+        return self.n, self.m
+
+    def _check_setup(self):
+        if not self._is_setup:
+            raise RuntimeError(
+                "Model is empty: call setup() before this operation")

@@ -1,0 +1,94 @@
+"""Small linear-algebra helpers shared by the solver core.
+
+All helpers are shape-polymorphic over empty dimensions (m = 0 unconstrained
+problems — reference test/unconstrained.jl) and jit/vmap-safe.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def inf_norm(v):
+    """∞-norm that returns 0 for empty vectors (m = 0 problems)."""
+    if v.size == 0:
+        return jnp.zeros((), dtype=v.dtype)
+    return jnp.max(jnp.abs(v))
+
+
+def sym(M):
+    """Symmetrize (guards tiny asymmetry from user input / scaling rounding)."""
+    return 0.5 * (M + M.T)
+
+
+def chol_factor(R):
+    """Lower-triangular Cholesky factor; NaN-filled if R is not PD."""
+    return lax.linalg.cholesky(R, symmetrize_input=True)
+
+
+def chol_solve(L, b):
+    """Solve R x = b given L = chol(R). Works for b of shape (n,) or (n, k)."""
+    vec = b.ndim == 1
+    if vec:
+        b = b[:, None]
+    w = lax.linalg.triangular_solve(
+        L, b, left_side=True, lower=True, transpose_a=False)
+    x = lax.linalg.triangular_solve(
+        L, w, left_side=True, lower=True, transpose_a=True)
+    return x[:, 0] if vec else x
+
+
+def reduced_kkt(P, A, sigma, rho_vec):
+    """Form the reduced KKT matrix R = P + sigma*I + Aᵀ diag(rho) A.
+
+    This is the n×n positive-definite reduction of the quasi-definite KKT
+    system [P+σI, Aᵀ; A, -diag(ρ)⁻¹] the C core factorizes with QDLDL
+    (SURVEY.md §2.2). On TPU the dense reduction feeds the MXU: one Cholesky
+    per (re)factorization, two triangular solves per ADMM iteration.
+    """
+    n = P.shape[0]
+    R = P + sigma * jnp.eye(n, dtype=P.dtype)
+    if A.shape[0] > 0:
+        R = R + (A.T * rho_vec[None, :]) @ A
+    return sym(R)
+
+
+def cg_solve(matvec, b, x0, tol, max_iter, M_inv_diag=None):
+    """Preconditioned conjugate gradient for the indirect KKT path.
+
+    Solves R x = b with R given implicitly by ``matvec``; diagonal (Jacobi)
+    preconditioner optional. Fixed-iteration-bound ``lax.while_loop`` —
+    compile-friendly, batched under vmap.
+    """
+    dtype = b.dtype
+
+    def precond(r):
+        return r if M_inv_diag is None else M_inv_diag * r
+
+    r0 = b - matvec(x0)
+    z0 = precond(r0)
+    p0 = z0
+    rz0 = jnp.dot(r0, z0)
+    bnorm = jnp.maximum(inf_norm(b), jnp.asarray(1e-30, dtype))
+
+    def cond(state):
+        k, _, r, _, _ = state
+        return (k < max_iter) & (inf_norm(r) > tol * bnorm)
+
+    def body(state):
+        k, x, r, p, rz = state
+        Ap = matvec(p)
+        denom = jnp.dot(p, Ap)
+        alpha = rz / jnp.where(denom == 0, jnp.asarray(1.0, dtype), denom)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = jnp.dot(r, z)
+        beta = rz_new / jnp.where(rz == 0, jnp.asarray(1.0, dtype), rz)
+        p = z + beta * p
+        return k + 1, x, r, p, rz_new
+
+    _, x, _, _, _ = lax.while_loop(cond, body, (jnp.int32(0), x0, r0, p0, rz0))
+    return x

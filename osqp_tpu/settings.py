@@ -1,0 +1,132 @@
+"""Solver settings.
+
+Mirrors the 22-field ``Settings`` struct of the reference
+(``/root/reference/src/types.jl:111-134``) with the C core's defaults
+(v0.6.2 ``include/constants.h``, fetched by the wrapper via
+``osqp_set_default_settings`` — types.jl:136-145). Construction semantics mirror
+types.jl:147-171: defaults merged with user kwargs, types coerced, and
+``linsys_solver`` accepting a string (interface.jl:749-773).
+
+Two-tier mutability follows constants.jl:26-44 / interface.jl:448: anything may
+be set at ``setup``; only :data:`osqp_tpu.constants.UPDATABLE_SETTINGS` after.
+
+TPU-specific additions (not in the reference): ``dtype`` (compute precision) and
+``cg_*`` knobs for the indirect (matrix-free CG) KKT solver.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import numpy as np
+
+from .constants import LINSYS_SOLVER_MAP, UPDATABLE_SETTINGS
+
+
+@dataclasses.dataclass
+class Settings:
+    # -- ADMM penalty / regularization ------------------------------------
+    rho: float = 0.1
+    sigma: float = 1e-6
+    # -- data preconditioning ---------------------------------------------
+    scaling: int = 10  # number of Ruiz equilibration iterations; 0 = off
+    # -- adaptive rho ------------------------------------------------------
+    adaptive_rho: bool = True
+    adaptive_rho_interval: int = 0  # 0 -> deterministic fixed interval
+    adaptive_rho_tolerance: float = 5.0
+    adaptive_rho_fraction: float = 0.4  # kept for API parity (timing-based mode)
+    # -- iteration / termination ------------------------------------------
+    max_iter: int = 4000
+    eps_abs: float = 1e-3
+    eps_rel: float = 1e-3
+    eps_prim_inf: float = 1e-4
+    eps_dual_inf: float = 1e-4
+    alpha: float = 1.6
+    # -- linear system solver ----------------------------------------------
+    linsys_solver: int = 0  # see constants.LINSYS_SOLVER_MAP
+    # -- polishing ---------------------------------------------------------
+    delta: float = 1e-6
+    polish: bool = False
+    polish_refine_iter: int = 3
+    # -- reporting / termination control -----------------------------------
+    verbose: bool = True
+    scaled_termination: bool = False
+    check_termination: int = 25  # 0 = never check (run exactly max_iter)
+    warm_start: bool = True
+    time_limit: float = 0.0  # seconds; 0 = no limit
+    # -- TPU-native extensions ---------------------------------------------
+    dtype: Any = None  # None -> float64 if jax x64 enabled else float32
+    cg_max_iter: int = 200
+    cg_tol: float = 1e-9
+    cg_precond: bool = True
+
+    def __post_init__(self):
+        self._coerce()
+
+    def _coerce(self) -> None:
+        if isinstance(self.linsys_solver, str):
+            key = self.linsys_solver.lower()
+            if key not in LINSYS_SOLVER_MAP:
+                raise ValueError(
+                    f"Wrong linear system solver! {sorted(LINSYS_SOLVER_MAP)} allowed"
+                )
+            self.linsys_solver = LINSYS_SOLVER_MAP[key]
+        for f in (
+            "rho", "sigma", "adaptive_rho_tolerance", "adaptive_rho_fraction",
+            "eps_abs", "eps_rel", "eps_prim_inf", "eps_dual_inf", "alpha",
+            "delta", "time_limit", "cg_tol",
+        ):
+            setattr(self, f, float(getattr(self, f)))
+        for f in (
+            "scaling", "adaptive_rho_interval", "max_iter", "linsys_solver",
+            "polish_refine_iter", "check_termination", "cg_max_iter",
+        ):
+            setattr(self, f, int(getattr(self, f)))
+        for f in ("adaptive_rho", "polish", "verbose", "scaled_termination",
+                  "warm_start", "cg_precond"):
+            setattr(self, f, bool(getattr(self, f)))
+        if self.rho <= 0:
+            raise ValueError("rho must be positive")
+        if self.sigma <= 0:
+            raise ValueError("sigma must be positive")
+        if self.max_iter <= 0:
+            raise ValueError("max_iter must be positive")
+        if not (0.0 < self.alpha < 2.0):
+            raise ValueError("alpha must be in (0, 2)")
+
+    @classmethod
+    def from_kwargs(cls, **kwargs) -> "Settings":
+        """Defaults merged with user kwargs (types.jl:147-171 semantics)."""
+        valid = {f.name for f in dataclasses.fields(cls)}
+        unknown = set(kwargs) - valid
+        if unknown:
+            raise ValueError(f"Unknown settings: {sorted(unknown)}")
+        return cls(**kwargs)
+
+    def replace(self, **kwargs) -> "Settings":
+        new = dataclasses.replace(self, **kwargs)
+        new._coerce()
+        return new
+
+    def update_inplace(self, **kwargs) -> None:
+        """Post-setup settings update; rejects non-updatable fields
+        (interface.jl:442-455 semantics)."""
+        for k in kwargs:
+            if k not in UPDATABLE_SETTINGS:
+                raise ValueError(
+                    f"Setting '{k}' cannot be updated after setup "
+                    f"(updatable: {list(UPDATABLE_SETTINGS)})"
+                )
+        for k, v in kwargs.items():
+            setattr(self, k, v)
+        self._coerce()
+
+    def resolve_dtype(self):
+        import jax
+        if self.dtype is not None:
+            return np.dtype(self.dtype)
+        return np.dtype(np.float64 if jax.config.jax_enable_x64 else np.float32)
+
+    def asdict(self) -> dict:
+        return dataclasses.asdict(self)

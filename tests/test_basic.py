@@ -1,0 +1,132 @@
+"""Port of the reference basic test suite (/root/reference/test/basic.jl).
+
+Canonical 2-var / 5-constraint QP; q/l/u updates; settings updates; rho-update
+determinism; time limit.
+"""
+
+import numpy as np
+import pytest
+
+import osqp_tpu as osqp
+
+TOL = 1e-5
+
+
+def basic_problem():
+    P = np.array([[11.0, 0.0], [0.0, 0.0]])
+    q = np.array([3.0, 4.0])
+    A = np.array([[-1.0, 0.0], [0.0, -1.0], [-1.0, -3.0],
+                  [2.0, 5.0], [3.0, 4.0]])
+    u = np.array([0.0, 0.0, -15.0, 100.0, 80.0])
+    l = -np.inf * np.ones(len(u))
+    return P, q, A, l, u
+
+
+def basic_options():
+    # test/basic.jl:12-22
+    return dict(verbose=False, eps_abs=1e-9, eps_rel=1e-9,
+                check_termination=1, polish=False, max_iter=4000,
+                rho=0.1, adaptive_rho=False, warm_start=True)
+
+
+def make_model(**extra):
+    P, q, A, l, u = basic_problem()
+    opts = basic_options()
+    opts.update(extra)
+    model = osqp.Model()
+    model.setup(P=P, q=q, A=A, l=l, u=u, **opts)
+    return model
+
+
+def test_basic_qp():
+    # test/basic.jl:28-50
+    results = make_model().solve()
+    assert np.linalg.norm(results.x - [0.0, 5.0]) < TOL
+    assert np.linalg.norm(
+        results.y - [1.666666666666, 0.0, 1.3333333, 0.0, 0.0]) < TOL
+    assert abs(results.info.obj_val - 20.0) < TOL
+    assert results.info.status == "Solved"
+
+
+def test_update_q():
+    # test/basic.jl:52-77
+    model = make_model()
+    model.update(q=[10.0, 20.0])
+    results = model.solve()
+    assert np.linalg.norm(results.x - [0.0, 5.0]) < TOL
+    assert np.linalg.norm(
+        results.y - [3.33333333, 0.0, 6.66666666, 0.0, 0.0]) < TOL
+    assert abs(results.info.obj_val - 100.0) < TOL
+
+
+def test_update_l():
+    # test/basic.jl:79-104
+    model = make_model()
+    model.update(l=-100 * np.ones(5))
+    results = model.solve()
+    assert np.linalg.norm(results.x - [0.0, 5.0]) < TOL
+    assert np.linalg.norm(
+        results.y - [1.6666666666, 0.0, 1.333333333333, 0.0, 0.0]) < TOL
+    assert abs(results.info.obj_val - 20.0) < TOL
+
+
+def test_update_u():
+    # test/basic.jl:106-135
+    model = make_model()
+    model.update(u=1000 * np.ones(5))
+    results = model.solve()
+    assert np.linalg.norm(
+        results.x - [-1.51515152e-01, -3.33282828e+02]) < TOL
+    assert np.linalg.norm(
+        results.y - [0.0, 0.0, 1.333333333333, 0.0, 0.0]) < TOL
+    assert abs(results.info.obj_val - (-1333.459595961)) < TOL
+
+
+def test_update_max_iter():
+    # test/basic.jl:137-155
+    model = make_model()
+    model.update_settings(max_iter=80)
+    results = model.solve()
+    assert results.info.status == "Max_iter_reached"
+
+
+def test_update_check_termination():
+    # test/basic.jl:157-172: check_termination=0 runs exactly max_iter iters
+    model = make_model()
+    model.update_settings(check_termination=False)
+    results = model.solve()
+    assert results.info.iter == basic_options()["max_iter"]
+
+
+def test_update_rho():
+    # test/basic.jl:174-208: updating rho to the default must reproduce the
+    # default iteration count exactly (determinism of the refactor path)
+    results_default = make_model().solve()
+    model = make_model(rho=0.7)
+    model.update_settings(rho=0.1)
+    results_new_rho = model.solve()
+    assert results_default.info.iter == results_new_rho.info.iter
+
+
+def test_time_limit():
+    # test/basic.jl:210-240
+    model = make_model()
+    results = model.solve()
+    assert results.info.status == "Solved"
+
+    model.update_settings(eps_abs=1e-20, eps_rel=1e-20, time_limit=1e-6,
+                          max_iter=1000000, check_termination=0)
+    results_tl = model.solve()
+    assert results_tl.info.status == "Time_limit_reached"
+
+
+def test_solve_empty_model_raises():
+    # test/interface.jl "Model error handling"
+    model = osqp.Model()
+    with pytest.raises(RuntimeError):
+        model.solve()
+
+
+def test_dimensions():
+    model = make_model()
+    assert model.dimensions() == (2, 5)
