@@ -1,0 +1,93 @@
+"""Batched QP solving — the TPU throughput front-end.
+
+The reference solves one QP per C workspace, serially. On TPU the headline
+workload (BASELINE.md: 1k-QP MPC batches) is thousands of same-structure QPs
+solved as ONE compiled program: ``jax.vmap`` over stacked problem data (each
+lane runs the identical control flow of :mod:`osqp_tpu.core`), sharded across
+a device mesh along the batch axis (SURVEY.md §2.3 "Batch parallelism" row).
+
+Per-problem termination inside the shared ``lax.while_loop`` is handled by
+JAX's while-loop batching rule: finished lanes are masked, the program stops
+when every lane is done.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .core import dyn_from_settings, solve
+from .settings import Settings
+from .types import QPData, SolveOutput
+
+
+def _vmapped_solve(data: QPData, dyn, scaling_iters, x0, y0) -> SolveOutput:
+    return jax.vmap(
+        lambda d, xx, yy: solve(d, dyn, scaling_iters, xx, yy)
+    )(data, x0, y0)
+
+
+class BatchedSolver:
+    """Solve a batch of same-shape QPs in one XLA program.
+
+    Example::
+
+        solver = BatchedSolver(settings=Settings(eps_abs=1e-3, eps_rel=1e-3))
+        out = solver.solve(P, q, A, l, u)       # leading batch axis on all
+        out.x          # (B, n) solutions
+        out.status     # (B,) status codes (osqp_tpu.constants)
+
+    With ``mesh`` given, inputs/outputs are sharded along the batch axis over
+    the mesh's ``axis_name`` — scaling across chips with zero collectives
+    (embarrassingly parallel).
+    """
+
+    def __init__(self, settings: Optional[Settings] = None,
+                 mesh: Optional[Mesh] = None, axis_name: str = "b"):
+        self.settings = settings or Settings()
+        self.mesh = mesh
+        self.axis_name = axis_name
+        if mesh is not None:
+            # batch axis sharded on every stacked leaf; dyn scalars replicated
+            def shard(ndim):
+                return NamedSharding(
+                    mesh, P(*([axis_name] + [None] * (ndim - 1))))
+            in_shardings = (
+                QPData(P=shard(3), q=shard(2), A=shard(3),
+                       l=shard(2), u=shard(2)),
+                None, None, shard(2), shard(2))
+            self._jit = jax.jit(_vmapped_solve, in_shardings=in_shardings)
+        else:
+            self._jit = jax.jit(_vmapped_solve)
+
+    def solve(self, Pm, q, A, l, u, x0=None, y0=None) -> SolveOutput:
+        s = self.settings
+        dtype = s.resolve_dtype()
+        Pm = jnp.asarray(Pm, dtype)
+        q = jnp.asarray(q, dtype)
+        A = jnp.asarray(A, dtype)
+        l = jnp.asarray(l, dtype)
+        u = jnp.asarray(u, dtype)
+        B, n = q.shape
+        m = l.shape[-1]
+        if Pm.ndim == 2:  # shared P / A broadcast across the batch
+            Pm = jnp.broadcast_to(Pm, (B, n, n))
+        if A.ndim == 2:
+            A = jnp.broadcast_to(A, (B, m, n))
+        x0 = jnp.zeros((B, n), dtype) if x0 is None else jnp.asarray(x0, dtype)
+        y0 = jnp.zeros((B, m), dtype) if y0 is None else jnp.asarray(y0, dtype)
+        data = QPData(P=Pm, q=q, A=A, l=l, u=u)
+        dyn = dyn_from_settings(s, dtype)
+        return self._jit(data, dyn, jnp.int32(s.scaling), x0, y0)
+
+
+def solve_batch(Pm, q, A, l, u, settings: Optional[Settings] = None,
+                mesh: Optional[Mesh] = None, x0=None, y0=None) -> SolveOutput:
+    """One-shot functional batched solve (convenience wrapper)."""
+    return BatchedSolver(settings=settings, mesh=mesh).solve(
+        Pm, q, A, l, u, x0=x0, y0=y0)

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from . import constants as C
-from .linalg import chol_factor, chol_solve, inf_norm, reduced_kkt
+from .linalg import cg_solve, chol_factor, chol_solve, inf_norm, reduced_kkt
 from .scaling import identity_scaling, ruiz_equilibrate
 from .types import DynParams, QPData, ScalingData, SolveOutput
 
@@ -202,19 +202,45 @@ class FactorState(NamedTuple):
     """Cached linear-system state carried across solves (the analogue of the C
     workspace keeping its LDLᵀ factor alive between osqp_solve calls — the
     reference's "no refactorization unless P/A changed" contract, SURVEY.md
-    layer 3 notes)."""
-    L: jnp.ndarray        # Cholesky factor of P̄+σI+Āᵀdiag(ρ)Ā
+    layer 3 notes).
+
+    ``L`` is mode-dependent: the Cholesky factor of P̄+σI+Āᵀdiag(ρ)Ā for the
+    direct path (linsys "direct"/"qdldl"), or the (n,) Jacobi preconditioner
+    diag(R)⁻¹ for the indirect (matrix-free CG) path — the two linear-system
+    sub-solvers the reference selects via the linsys_solver enum
+    (src/constants.jl:1-2)."""
+    L: jnp.ndarray
     rho_vec: jnp.ndarray
     rho_inv: jnp.ndarray
     rho_bar: jnp.ndarray
 
 
-def init_factor(sdata: QPData, sigma, rho_bar) -> FactorState:
+def _kkt_precompute(sdata: QPData, sigma, rho_vec, indirect: bool):
+    if indirect:
+        # Jacobi preconditioner: diag(P + sigma I + A' rho A)
+        d = jnp.diagonal(sdata.P) + sigma
+        if sdata.A.shape[0] > 0:
+            d = d + jnp.sum(rho_vec[:, None] * sdata.A**2, axis=0)
+        return 1.0 / d
+    return chol_factor(reduced_kkt(sdata.P, sdata.A, sigma, rho_vec))
+
+
+def _kkt_matvec(sdata: QPData, sigma, rho_vec):
+    def mv(v):
+        out = sdata.P @ v + sigma * v
+        if sdata.A.shape[0] > 0:
+            out = out + sdata.A.T @ (rho_vec * (sdata.A @ v))
+        return out
+    return mv
+
+
+def init_factor(sdata: QPData, sigma, rho_bar,
+                indirect: bool = False) -> FactorState:
     dtype = sdata.P.dtype
     loose, eq = constraint_masks(sdata.l, sdata.u)
     rho_bar = jnp.clip(jnp.asarray(rho_bar, dtype), C.RHO_MIN, C.RHO_MAX)
     rho_vec, rho_inv = build_rho_vec(loose, eq, rho_bar)
-    L = chol_factor(reduced_kkt(sdata.P, sdata.A, sigma, rho_vec))
+    L = _kkt_precompute(sdata, sigma, rho_vec, indirect)
     return FactorState(L=L, rho_vec=rho_vec, rho_inv=rho_inv, rho_bar=rho_bar)
 
 
@@ -236,12 +262,18 @@ class Carry(NamedTuple):
     rho_updates: jnp.ndarray  # int32
 
 
-def admm_step(sdata: QPData, dyn: DynParams, carry: Carry):
+def admm_step(sdata: QPData, dyn: DynParams, carry: Carry,
+              indirect: bool = False):
     """One alpha-relaxed ADMM iteration (call stack SURVEY.md §3.2 steps 1-4)."""
     P, q, A, l, u = sdata
     alpha = dyn.alpha
     rhs = dyn.sigma * carry.x - q + A.T @ (carry.rho_vec * carry.z - carry.y)
-    xt = chol_solve(carry.L, rhs)
+    if indirect:
+        xt = cg_solve(_kkt_matvec(sdata, dyn.sigma, carry.rho_vec), rhs,
+                      carry.x, dyn.cg_tol, dyn.cg_max_iter,
+                      M_inv_diag=carry.L)
+    else:
+        xt = chol_solve(carry.L, rhs)
     zt = A @ xt
     x_new = alpha * xt + (1.0 - alpha) * carry.x
     v = alpha * zt + (1.0 - alpha) * carry.z + carry.rho_inv * carry.y
@@ -251,7 +283,7 @@ def admm_step(sdata: QPData, dyn: DynParams, carry: Carry):
 
 
 def solve_scaled(sdata: QPData, scal: ScalingData, dyn: DynParams,
-                 x0, y0, z0, fs: FactorState):
+                 x0, y0, z0, fs: FactorState, linsys: str = "direct"):
     """Run the ADMM loop on pre-scaled data from the given (scaled) start,
     reusing the cached factorization ``fs``. Returns (SolveOutput, FactorState)
     where the returned factor state reflects any in-loop adaptive-rho
@@ -259,6 +291,7 @@ def solve_scaled(sdata: QPData, scal: ScalingData, dyn: DynParams,
     dtype = sdata.P.dtype
     n = sdata.P.shape[0]
     m = sdata.A.shape[0]
+    indirect = linsys == "indirect"
 
     loose, eq = constraint_masks(sdata.l, sdata.u)
 
@@ -280,7 +313,7 @@ def solve_scaled(sdata: QPData, scal: ScalingData, dyn: DynParams,
         return (c.status == C.RUNNING) & (c.it < dyn.max_iter)
 
     def body_fun(c: Carry) -> Carry:
-        x_new, y_new, z_new = admm_step(sdata, dyn, c)
+        x_new, y_new, z_new = admm_step(sdata, dyn, c, indirect=indirect)
         it = c.it + 1
         dx_bar = x_new - c.x
         dy_bar = y_new - c.y
@@ -325,8 +358,7 @@ def solve_scaled(sdata: QPData, scal: ScalingData, dyn: DynParams,
 
         def refactor(_):
             new_vec, new_inv = build_rho_vec(loose, eq, rho_est)
-            newL = chol_factor(
-                reduced_kkt(sdata.P, sdata.A, dyn.sigma, new_vec))
+            newL = _kkt_precompute(sdata, dyn.sigma, new_vec, indirect)
             return rho_est, new_vec, new_inv, newL, c.rho_updates + 1
 
         def keep(_):
@@ -417,7 +449,7 @@ def scale_problem(data: QPData, scaling_iters):
 
 
 def solve(data: QPData, dyn: DynParams, scaling_iters=10,
-          x0=None, y0=None) -> SolveOutput:
+          x0=None, y0=None, linsys: str = "direct") -> SolveOutput:
     """Functional one-shot solve (jittable / vmappable). ``x0, y0`` unscaled."""
     sdata, scal = scale_problem(data, scaling_iters)
     dtype = sdata.P.dtype
@@ -431,8 +463,9 @@ def solve(data: QPData, dyn: DynParams, scaling_iters=10,
     else:
         yb = scal.c * scal.Einv * y0.astype(dtype)
     zb = sdata.A @ xb
-    fs = init_factor(sdata, dyn.sigma, dyn.rho_bar)
-    out, _ = solve_scaled(sdata, scal, dyn, xb, yb, zb, fs)
+    indirect = linsys == "indirect"
+    fs = init_factor(sdata, dyn.sigma, dyn.rho_bar, indirect=indirect)
+    out, _ = solve_scaled(sdata, scal, dyn, xb, yb, zb, fs, linsys=linsys)
     return out
 
 
@@ -456,4 +489,6 @@ def dyn_from_settings(settings, dtype) -> DynParams:
         adaptive_rho_tolerance=f(settings.adaptive_rho_tolerance),
         scaled_termination=i(1 if settings.scaled_termination else 0),
         final_approx=i(1),
+        cg_tol=f(settings.cg_tol),
+        cg_max_iter=i(settings.cg_max_iter),
     )

@@ -40,9 +40,7 @@ def _scale_jit(data: QPData, scaling_iters):
     return scale_problem(data, scaling_iters)
 
 
-@jax.jit
-def _factor_jit(sdata: QPData, sigma, rho_bar):
-    return init_factor(sdata, sigma, rho_bar)
+_factor_jit = jax.jit(init_factor, static_argnames=("indirect",))
 
 
 @jax.jit
@@ -52,7 +50,7 @@ def _convexity_nan(Pbar, sigma):
     return jnp.any(jnp.isnan(L))
 
 
-_solve_jit = jax.jit(solve_scaled)
+_solve_jit = jax.jit(solve_scaled, static_argnames=("linsys",))
 _polish_jit = jax.jit(_polish_fn)
 
 
@@ -93,6 +91,8 @@ class Model:
         t0 = time.perf_counter()
         self.settings = Settings.from_kwargs(**settings)
         dtype = self.settings.resolve_dtype()
+        self._linsys = ("indirect" if self.settings.linsys_solver
+                        == C.INDIRECT_SOLVER else "direct")
 
         # --- dimension inference (interface.jl:45-99) ---
         if P is None:
@@ -176,7 +176,9 @@ class Model:
                 "(the problem is non-convex)")
         self._sdata = sdata
         self._scal = scal
-        self._fs = _factor_jit(sdata, sigma, jnp.asarray(self.settings.rho, dtype))
+        self._fs = _factor_jit(sdata, sigma,
+                               jnp.asarray(self.settings.rho, dtype),
+                               indirect=self._linsys == "indirect")
 
     def _reset_start(self) -> None:
         dtype = self._dtype
@@ -207,7 +209,7 @@ class Model:
             out, fs, elapsed_status = self._solve_time_limited(dyn, x0, y0, z0)
         else:
             out, fs = _solve_jit(self._sdata, self._scal, dyn, x0, y0, z0,
-                                 self._fs)
+                                 self._fs, linsys=self._linsys)
             jax.block_until_ready(out.x)
             elapsed_status = None
         self._fs = fs
@@ -296,7 +298,8 @@ class Model:
             dyn_c = dyn._replace(
                 max_iter=jnp.int32(this_chunk),
                 final_approx=jnp.int32(1 if is_final else 0))
-            out, fs = _solve_jit(self._sdata, self._scal, dyn_c, x0, y0, z0, fs)
+            out, fs = _solve_jit(self._sdata, self._scal, dyn_c, x0, y0, z0,
+                                 fs, linsys=self._linsys)
             jax.block_until_ready(out.x)
             total += int(out.iter)
             remaining -= int(out.iter)
@@ -387,7 +390,8 @@ class Model:
             if refactor and bool(_convexity_nan(sdata.P, sigma)):
                 raise ValueError(
                     "Error in update: P + sigma*I is not positive definite")
-            self._fs = _factor_jit(sdata, sigma, self._fs.rho_bar)
+            self._fs = _factor_jit(sdata, sigma, self._fs.rho_bar,
+                                   indirect=self._linsys == "indirect")
         self._update_time += time.perf_counter() - t0
 
     def update_settings(self, **kwargs):
@@ -402,7 +406,8 @@ class Model:
         if "rho" in kwargs and self.settings.rho != old_rho:
             sigma = jnp.asarray(self.settings.sigma, self._dtype)
             self._fs = _factor_jit(self._sdata, sigma,
-                                   jnp.asarray(self.settings.rho, self._dtype))
+                                   jnp.asarray(self.settings.rho, self._dtype),
+                                   indirect=self._linsys == "indirect")
 
     # ------------------------------------------------------------- warm start
     def warm_start(self, x=None, y=None):

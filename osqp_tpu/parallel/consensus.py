@@ -1,0 +1,96 @@
+"""Distributed solve of ONE large QP across a device mesh.
+
+The reference cannot do this at all (single-threaded C; SURVEY.md §2.3). The
+TPU-native design shards the *constraint* dimension m — the large axis in
+scenario/portfolio/MPC-stacked problems — across the mesh:
+
+  * A is row-sharded: each device owns a block A_k, l_k, u_k and the matching
+    slices of z, y, rho_vec (the "sequence-parallel" analogue of SURVEY.md §5:
+    the constraint axis plays the role sequence length plays in attention);
+  * x and the reduced KKT factor are replicated;
+  * every coupling term (AᵀρA for the factorization, Aᵀ(ρz−y) per iteration,
+    residual ∞-norms for the termination decision) is a cross-shard reduction.
+
+Rather than hand-writing NCCL-style collectives, the SPMD program is expressed
+once (the exact :func:`osqp_tpu.core.solve` pipeline) and partitioned by XLA:
+``jit`` with `NamedSharding` annotations lowers the reductions to ``psum``/
+``all-gather`` over ICI automatically, and the termination decision — a
+function of globally-reduced norms — is bitwise identical on every device
+(the multi-host agreement property SURVEY.md §5 calls out).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core import dyn_from_settings, solve
+from ..settings import Settings
+from ..types import QPData, SolveOutput
+
+
+def _solve_fn(data: QPData, dyn, scaling_iters, x0, y0) -> SolveOutput:
+    return solve(data, dyn, scaling_iters, x0, y0)
+
+
+class ConsensusQP:
+    """Row-sharded distributed QP solver.
+
+    Example::
+
+        mesh = Mesh(np.array(jax.devices()).reshape(-1), ("r",))
+        solver = ConsensusQP(mesh, settings=Settings())
+        out = solver.solve(P, q, A, l, u)   # A row-sharded over mesh axis "r"
+    """
+
+    def __init__(self, mesh: Mesh, settings: Optional[Settings] = None,
+                 axis_name: str = "r"):
+        self.mesh = mesh
+        self.settings = settings or Settings()
+        self.axis_name = axis_name
+
+        row = NamedSharding(mesh, P(axis_name))          # (m,) leaves
+        rowmat = NamedSharding(mesh, P(axis_name, None))  # (m, n) leaves
+        rep = NamedSharding(mesh, P())
+        repmat = NamedSharding(mesh, P(None, None))
+        self._jit = jax.jit(
+            _solve_fn,
+            in_shardings=(
+                QPData(P=repmat, q=rep, A=rowmat, l=row, u=row),
+                None, None, rep, row),
+            out_shardings=SolveOutput(
+                x=rep, y=row, z=row, status=rep, iter=rep,
+                pri_res=rep, dua_res=rep, obj_val=rep,
+                prim_cert=row, dual_cert=rep,
+                rho_updates=rep, rho_estimate=rep,
+                xbar=rep, ybar=row, zbar=row),
+        )
+
+    def solve(self, Pm, q, A, l, u, x0=None, y0=None) -> SolveOutput:
+        s = self.settings
+        dtype = s.resolve_dtype()
+        Pm = jnp.asarray(Pm, dtype)
+        q = jnp.asarray(q, dtype)
+        A = jnp.asarray(A, dtype)
+        l = jnp.asarray(l, dtype)
+        u = jnp.asarray(u, dtype)
+        n = q.shape[0]
+        m = l.shape[0]
+        if m % self.mesh.devices.size != 0:
+            raise ValueError(
+                f"m={m} must be divisible by the mesh size "
+                f"{self.mesh.devices.size} (pad constraints with loose rows)")
+        x0 = jnp.zeros((n,), dtype) if x0 is None else jnp.asarray(x0, dtype)
+        y0 = jnp.zeros((m,), dtype) if y0 is None else jnp.asarray(y0, dtype)
+        dyn = dyn_from_settings(s, dtype)
+        data = QPData(P=Pm, q=q, A=A, l=l, u=u)
+        return self._jit(data, dyn, jnp.int32(s.scaling), x0, y0)
+
+
+def solve_consensus(mesh: Mesh, Pm, q, A, l, u,
+                    settings: Optional[Settings] = None) -> SolveOutput:
+    """One-shot functional distributed solve."""
+    return ConsensusQP(mesh, settings=settings).solve(Pm, q, A, l, u)

@@ -90,7 +90,15 @@ def polish(sdata: QPData, scal: ScalingData, dyn: DynParams,
     res = residual_norms(sdata, scal, dyn, x, y, z)
     finite = (jnp.all(jnp.isfinite(x)) & jnp.all(jnp.isfinite(y))
               & jnp.isfinite(res.pri_res) & jnp.isfinite(res.dua_res))
-    success = finite & (res.pri_res < admm_pri_res) & (res.dua_res < admm_dua_res)
+    # Accept iff both residuals strictly improve — with the escape hatch for
+    # an ADMM residual that is already (near-)exactly zero, where strict
+    # improvement on that axis is impossible (C core polish success check).
+    tiny = 1e-10
+    better_p = res.pri_res < admm_pri_res
+    better_d = res.dua_res < admm_dua_res
+    success = finite & ((better_p & better_d)
+                        | (better_p & (admm_dua_res < tiny))
+                        | (better_d & (admm_pri_res < tiny)))
 
     obj = scal.cinv * (0.5 * jnp.dot(x, P @ x) + jnp.dot(q, x))
     return PolishOutput(

@@ -69,6 +69,8 @@ class DynParams(NamedTuple):
     final_approx: Any         # int32 flag: run the 10x-eps "inaccurate" check
                               # when max_iter is hit (suppressed for
                               # intermediate chunks of the time-limit driver)
+    cg_tol: Any               # indirect (CG) KKT solve: relative tolerance
+    cg_max_iter: Any          # indirect KKT solve: iteration cap (int32)
 
 
 class SolveOutput(NamedTuple):

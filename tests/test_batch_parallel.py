@@ -1,0 +1,113 @@
+"""Batched and multi-device tests — the capabilities the reference lacks
+(SURVEY.md §2.3): vmapped batch solving, batch-axis sharding over an 8-device
+mesh, and row-sharded distributed solve of one large QP. Differential oracle:
+the single-problem Model path and the NumPy reference engine."""
+
+import numpy as np
+import pytest
+
+import jax
+from jax.sharding import Mesh
+
+import osqp_tpu as osqp
+from osqp_tpu.batch import BatchedSolver
+from osqp_tpu.parallel import batch_mesh
+from osqp_tpu.parallel.consensus import ConsensusQP
+from osqp_tpu.settings import Settings
+from osqp_tpu.utils.npref import solve_np
+
+
+def make_batch(B, n, m, seed=0):
+    rng = np.random.RandomState(seed)
+    M = rng.randn(n, n) / np.sqrt(n)
+    P = M.T @ M + 0.1 * np.eye(n)
+    A = rng.randn(m, n) / np.sqrt(n)
+    q = rng.randn(B, n)
+    c = rng.randn(B, m) * 0.1
+    w = 1.0 + rng.rand(B, m)
+    return P, q, A, c - w, c + w
+
+
+SETTINGS = Settings(verbose=False, eps_abs=1e-6, eps_rel=1e-6)
+
+
+def test_batched_matches_single():
+    B, n, m = 4, 10, 16
+    P, q, A, l, u = make_batch(B, n, m)
+    out = BatchedSolver(settings=SETTINGS).solve(P, q, A, l, u)
+    assert out.x.shape == (B, n)
+    assert np.all(np.asarray(out.status) == 1)
+    for i in range(B):
+        model = osqp.Model()
+        model.setup(P=P, q=q[i], A=A, l=l[i], u=u[i], verbose=False,
+                    eps_abs=1e-6, eps_rel=1e-6)
+        r = model.solve()
+        np.testing.assert_allclose(np.asarray(out.x[i]), r.x, atol=1e-4)
+        assert abs(float(out.obj_val[i]) - r.info.obj_val) < 1e-4
+
+
+def test_batched_matches_npref():
+    B, n, m = 3, 8, 12
+    P, q, A, l, u = make_batch(B, n, m, seed=4)
+    out = BatchedSolver(settings=SETTINGS).solve(P, q, A, l, u)
+    for i in range(B):
+        x_np, y_np, _, status = solve_np(P, q[i], A, l[i], u[i],
+                                         eps_abs=1e-6, eps_rel=1e-6)
+        assert status == "Solved"
+        np.testing.assert_allclose(np.asarray(out.x[i]), x_np, atol=1e-4)
+
+
+def test_batched_mixed_statuses():
+    # one solvable lane + one primal-infeasible lane terminate independently
+    n, m = 2, 2
+    P = np.zeros((2, n, n))
+    A = np.stack([np.array([[1.0, 0.0], [1.0, 0.0]])] * 2)
+    q = np.stack([np.array([1.0, 0.0]), np.array([1.0, 0.0])])
+    l = np.stack([np.array([0.0, 0.0]), np.array([1.0, 3.0])])
+    u = np.stack([np.array([1.0, 1.0]), np.array([2.0, 4.0])])
+    s = Settings(verbose=False, eps_abs=1e-6, eps_rel=1e-6)
+    out = BatchedSolver(settings=s).solve(P, q, A, l, u)
+    statuses = np.asarray(out.status)
+    assert statuses[0] == 1    # Solved
+    assert statuses[1] == -3   # Primal_infeasible
+
+
+def test_batched_sharded_over_mesh():
+    assert len(jax.devices()) == 8, "conftest must force 8 cpu devices"
+    mesh = batch_mesh(8)
+    B, n, m = 16, 8, 12
+    P, q, A, l, u = make_batch(B, n, m, seed=1)
+    out = BatchedSolver(settings=SETTINGS, mesh=mesh).solve(P, q, A, l, u)
+    ref = BatchedSolver(settings=SETTINGS).solve(P, q, A, l, u)
+    np.testing.assert_allclose(np.asarray(out.x), np.asarray(ref.x),
+                               atol=1e-7)
+    # outputs actually sharded over the mesh
+    assert len(out.x.sharding.device_set) == 8
+
+
+def test_consensus_row_sharded_matches_single():
+    mesh = Mesh(np.array(jax.devices()), ("r",))
+    n, m = 12, 32
+    rng = np.random.RandomState(3)
+    M = rng.randn(n, n)
+    P = M.T @ M + 0.1 * np.eye(n)
+    q = rng.randn(n)
+    A = rng.randn(m, n)
+    l = -np.ones(m)
+    u = np.ones(m)
+    out = ConsensusQP(mesh, settings=SETTINGS).solve(P, q, A, l, u)
+    assert int(out.status) == 1
+
+    model = osqp.Model()
+    model.setup(P=P, q=q, A=A, l=l, u=u, verbose=False,
+                eps_abs=1e-6, eps_rel=1e-6)
+    r = model.solve()
+    np.testing.assert_allclose(np.asarray(out.x), r.x, atol=1e-4)
+    assert abs(float(out.obj_val) - r.info.obj_val) < 1e-4
+
+
+def test_consensus_rejects_indivisible_m():
+    mesh = Mesh(np.array(jax.devices()), ("r",))
+    with pytest.raises(ValueError):
+        ConsensusQP(mesh).solve(np.eye(2), np.zeros(2),
+                                np.ones((3, 2)), -np.ones(3), np.ones(3))

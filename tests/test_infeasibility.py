@@ -1,0 +1,127 @@
+"""Ports of the reference infeasibility-detection tests
+(/root/reference/test/dual_infeasibility.jl, test/primal_infeasibility.jl)
+plus certificate-validity checks (the stronger property the statuses imply).
+"""
+
+import numpy as np
+
+import osqp_tpu as osqp
+
+
+def dual_inf_options():
+    # dual_infeasibility.jl:1-9
+    return dict(verbose=False, eps_abs=1e-5, eps_rel=1e-5,
+                eps_prim_inf=1e-15, check_termination=1)
+
+
+def test_dual_infeasible_lp():
+    # dual_infeasibility.jl:15-28
+    P = np.zeros((2, 2))
+    q = np.array([2.0, -1.0])
+    A = np.eye(2)
+    u = np.inf * np.ones(2)
+    l = np.zeros(2)
+    model = osqp.Model()
+    model.setup(P=P, q=q, A=A, l=l, u=u, **dual_inf_options())
+    results = model.solve()
+    assert results.info.status == "Dual_infeasible"
+    # certificate validity: q'dx < 0, A dx >= 0 (recession direction)
+    dx = results.dual_inf_cert
+    assert np.all(np.isfinite(dx))
+    assert q @ dx < 0
+    assert np.all(A @ dx >= -1e-6)
+
+
+def test_dual_infeasible_qp():
+    # dual_infeasibility.jl:30-43
+    P = np.diag([4.0, 0.0])
+    q = np.array([0.0, 2.0])
+    A = np.array([[1.0, 1.0], [-1.0, 1.0]])
+    u = np.array([2.0, 3.0])
+    l = -np.inf * np.ones(2)
+    model = osqp.Model()
+    model.setup(P=P, q=q, A=A, l=l, u=u, **dual_inf_options())
+    results = model.solve()
+    assert results.info.status == "Dual_infeasible"
+
+
+def test_primal_dual_infeasible_warmstart():
+    # dual_infeasibility.jl:45-62: warm start avoids premature detection
+    P = np.zeros((2, 2))
+    q = np.array([-1.0, -1.0])
+    A = np.array([[1.0, -1.0], [-1.0, 1.0], [1.0, 0.0], [0.0, 1.0]])
+    u = np.inf * np.ones(4)
+    l = np.array([1.0, 1.0, 0.0, 0.0])
+    model = osqp.Model()
+    model.setup(P=P, q=q, A=A, l=l, u=u, **dual_inf_options())
+    model.warm_start(x=np.array([50.0, 30.0]), y=-2.0 * np.ones(4))
+    results = model.solve()
+    assert results.info.status == "Dual_infeasible"
+
+
+def primal_inf_options():
+    # primal_infeasibility.jl:1-9
+    return dict(verbose=False, eps_abs=1e-5, eps_rel=1e-5,
+                eps_dual_inf=1e-18, scaling=True)
+
+
+def test_primal_infeasible_problem():
+    # primal_infeasibility.jl:15-39: random problem with contradictory
+    # duplicated row
+    rng = np.random.RandomState(1)
+    n = 50
+    m = 500
+    Ph = rng.randn(n, n) * (rng.rand(n, n) < 0.6)
+    P = Ph.T @ Ph
+    q = rng.randn(n)
+    A = rng.randn(m, n) * (rng.rand(m, n) < 0.6)
+    u = 3 + rng.randn(m)
+    l = -3 + rng.randn(m)
+
+    k = n // 2
+    A[k, :] = A[k + 1, :]
+    l[k] = u[k + 1] + 10 * rng.rand()
+    u[k] = l[k] + 0.5
+
+    model = osqp.Model()
+    model.setup(P=P, q=q, A=A, l=l, u=u, **primal_inf_options())
+    results = model.solve()
+    assert results.info.status == "Primal_infeasible"
+    # certificate validity: A'dy ~ 0 and u'(dy)+ + l'(dy)- < 0
+    dy = results.prim_inf_cert
+    assert np.all(np.isfinite(dy))
+    assert np.linalg.norm(A.T @ dy, np.inf) < 1e-3
+    assert u @ np.maximum(dy, 0) + l @ np.minimum(dy, 0) < 0
+
+
+def test_primal_dual_infeasible_problem():
+    # primal_infeasibility.jl:41-59
+    n = 2
+    m = 4
+    P = np.zeros((n, n))
+    q = np.array([-1.0, -1.0])
+    A = np.array([[1.0, -1.0], [-1.0, 1.0], [1.0, 0.0], [0.0, 1.0]])
+    l = np.array([1.0, 1.0, 0.0, 0.0])
+    u = np.inf * np.ones(m)
+    model = osqp.Model()
+    model.setup(P=P, q=q, A=A, l=l, u=u, **primal_inf_options())
+    results = model.solve()
+    assert results.info.status == "Primal_infeasible"
+
+
+def test_infeasible_x_y_nan_filled():
+    # interface.jl:184-210: no solution => NaN x/y, certificate present
+    P = np.zeros((2, 2))
+    q = np.array([-1.0, -1.0])
+    A = np.array([[1.0, 0.0], [1.0, 0.0]])
+    l = np.array([1.0, 3.0])
+    u = np.array([2.0, 4.0])  # x0 in [1,2] and [3,4] simultaneously
+    model = osqp.Model()
+    model.setup(P=P, q=q, A=A, l=l, u=u, verbose=False)
+    results = model.solve()
+    assert results.info.status == "Primal_infeasible"
+    assert np.all(np.isnan(results.x))
+    assert np.all(np.isnan(results.y))
+    assert np.all(np.isfinite(results.prim_inf_cert))
+    assert np.all(np.isnan(results.dual_inf_cert))
+    assert results.info.obj_val == np.inf

