@@ -74,14 +74,32 @@ def main():
     tpu_qps = B / t_best
     log(f"timed runs: {['%.3f' % t for t in times]} -> {tpu_qps:.1f} QP/s")
 
-    # single-core CPU baseline on a subsample
+    # single-core CPU baseline on a subsample: the faster of the NumPy
+    # reference engine and the native C++ sparse-LDL engine (the in-repo
+    # OSQP-C-class implementation)
     K = 8
     t0 = time.perf_counter()
     for i in range(K):
         solve_np(P, q[i], A, l[i], u[i], eps_abs=1e-3, eps_rel=1e-3)
-    cpu_time = time.perf_counter() - t0
+    np_time = time.perf_counter() - t0
+    log(f"cpu numpy single-core: {K} QPs in {np_time:.2f}s "
+        f"-> {K / np_time:.1f} QP/s")
+    native_time = None
+    try:
+        from osqp_tpu.native import NativeModel
+        t0 = time.perf_counter()
+        for i in range(K):
+            nm = NativeModel().setup(P=P, q=q[i], A=A, l=l[i], u=u[i],
+                                     eps_abs=1e-3, eps_rel=1e-3)
+            nm.solve()
+        native_time = time.perf_counter() - t0
+        log(f"cpu native single-core: {K} QPs in {native_time:.2f}s "
+            f"-> {K / native_time:.1f} QP/s")
+    except Exception as e:  # native lib unavailable -> numpy baseline only
+        log(f"native baseline unavailable: {e}")
+    cpu_time = min(t for t in (np_time, native_time) if t is not None)
     cpu_qps = K / cpu_time
-    log(f"cpu single-core: {K} QPs in {cpu_time:.2f}s -> {cpu_qps:.1f} QP/s")
+    log(f"cpu single-core baseline: {cpu_qps:.1f} QP/s")
 
     vs = tpu_qps / cpu_qps
     print(json.dumps({

@@ -1,0 +1,789 @@
+// Native CPU ADMM QP engine (C ABI, loaded via ctypes).
+//
+// From-scratch C++ implementation of the solver-core component class the
+// reference wraps (SURVEY.md §2.2: workspace, ADMM loop, quasi-definite KKT
+// via sparse LDL', Ruiz scaling, adaptive rho, termination, infeasibility
+// certificates, polish, warm start, in-place updates). This is the
+// single-problem host fast path of the framework — the TPU path
+// (osqp_tpu/core.py) is the batched/sharded XLA program; this one serves
+// latency-critical single QPs and host-side oracles. Algorithms follow the
+// OSQP paper (Stellato et al. 2020); no code is derived from the C library.
+//
+// Build: g++ -O3 -shared -fPIC ldl.cpp solver.cpp -o libtpuqp.so
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+#include "ldl.h"
+
+namespace tpuqp {
+
+static constexpr double INFTY = 1e30;
+static constexpr double INFTY_MIN = 1e25;
+static constexpr double RHO_MIN = 1e-6, RHO_MAX = 1e6;
+static constexpr double RHO_EQ_SCALE = 1e3, RHO_TOL_EQ = 1e-4;
+static constexpr double MIN_SCALING = 1e-4, MAX_SCALING = 1e4;
+static constexpr double DIV_GUARD = 1e-10;
+
+// status codes match osqp_tpu.constants
+enum Status {
+  SOLVED = 1, SOLVED_INACCURATE = 2, PRIMAL_INF_INACC = 3, DUAL_INF_INACC = 4,
+  RUNNING = 0, MAX_ITER = -2, PRIMAL_INF = -3, DUAL_INF = -4,
+  TIME_LIMIT = -6, NON_CONVEX = -7, UNSOLVED = -10
+};
+
+struct Settings {
+  double rho = 0.1, sigma = 1e-6, alpha = 1.6;
+  double eps_abs = 1e-3, eps_rel = 1e-3;
+  double eps_prim_inf = 1e-4, eps_dual_inf = 1e-4;
+  idx max_iter = 4000, check_termination = 25, scaling = 10;
+  idx adaptive_rho = 1, adaptive_rho_interval = 100;
+  double adaptive_rho_tolerance = 5.0;
+  idx polish = 0, polish_refine_iter = 3;
+  double delta = 1e-6;
+  idx scaled_termination = 0;
+};
+
+struct CSC {  // column-compressed
+  idx rows = 0, cols = 0;
+  std::vector<idx> p, i;
+  std::vector<double> x;
+};
+
+static double norm_inf(const std::vector<double>& v) {
+  double r = 0.0;
+  for (double a : v) r = std::max(r, std::fabs(a));
+  return r;
+}
+
+struct Work {
+  idx n = 0, m = 0;
+  Settings st;
+  CSC P;   // upper-triangular, scaled
+  CSC A;   // scaled
+  CSC At;  // A transpose (CSR access to A), scaled
+  std::vector<double> q, l, u;         // scaled
+  std::vector<double> D, E, Dinv, Einv;
+  double c = 1.0, cinv = 1.0;
+  std::vector<double> rho_vec, rho_inv_vec;
+  std::vector<int> ctype;  // -1 loose, 0 ineq, 1 eq
+  double rho_bar = 0.1;
+  // KKT
+  CSC K;  // upper-triangular (n+m)
+  std::vector<idx> kP;    // P nnz -> K nnz index
+  std::vector<idx> kAt;   // At nnz -> K nnz index
+  std::vector<idx> kSig;  // n diagonal positions (P+sigma)
+  std::vector<idx> kRho;  // m diagonal positions (-1/rho)
+  LDLSymbolic sym;
+  LDLFactor fac;
+  bool factored = false;
+  // iterates (scaled)
+  std::vector<double> xv, yv, zv, xprev, yprev;
+  // results
+  double pri_res = 0, dua_res = 0, obj = 0, rho_estimate = 0.1;
+  idx iter = 0, rho_updates = 0;
+  int status = UNSOLVED, status_polish = 0;
+  std::vector<double> dx_cert, dy_cert;
+};
+
+static void transpose(const CSC& A, CSC& At) {
+  At.rows = A.cols;
+  At.cols = A.rows;
+  At.p.assign(A.rows + 1, 0);
+  At.i.assign(A.x.size(), 0);
+  At.x.assign(A.x.size(), 0.0);
+  for (idx p = 0; p < (idx)A.i.size(); ++p) At.p[A.i[p] + 1] += 1;
+  for (idx r = 0; r < A.rows; ++r) At.p[r + 1] += At.p[r];
+  std::vector<idx> next(At.p.begin(), At.p.end() - 1);
+  for (idx col = 0; col < A.cols; ++col) {
+    for (idx p = A.p[col]; p < A.p[col + 1]; ++p) {
+      idx pos = next[A.i[p]]++;
+      At.i[pos] = col;
+      At.x[pos] = A.x[p];
+    }
+  }
+}
+
+static void mat_vec(const CSC& M, const double* v, double* out) {  // out = M v
+  std::fill(out, out + M.rows, 0.0);
+  for (idx col = 0; col < M.cols; ++col) {
+    double vc = v[col];
+    if (vc == 0.0) continue;
+    for (idx p = M.p[col]; p < M.p[col + 1]; ++p) out[M.i[p]] += M.x[p] * vc;
+  }
+}
+
+// y = P v with P stored upper-triangular (symmetric expand)
+static void sym_mat_vec(const CSC& P, const double* v, double* out) {
+  std::fill(out, out + P.rows, 0.0);
+  for (idx col = 0; col < P.cols; ++col) {
+    for (idx p = P.p[col]; p < P.p[col + 1]; ++p) {
+      idx row = P.i[p];
+      out[row] += P.x[p] * v[col];
+      if (row != col) out[col] += P.x[p] * v[row];
+    }
+  }
+}
+
+static double limit_scaling(double v) {
+  if (v < MIN_SCALING) return 1.0;
+  return std::min(v, MAX_SCALING);
+}
+
+// Modified Ruiz equilibration on (P upper, A), matching osqp_tpu/scaling.py.
+static void ruiz(Work& w) {
+  const idx n = w.n, m = w.m;
+  w.D.assign(n, 1.0);
+  w.E.assign(m, 1.0);
+  w.c = 1.0;
+  std::vector<double> dn(n), en(m), dd(n), de(m);
+  for (idx it = 0; it < w.st.scaling; ++it) {
+    std::fill(dn.begin(), dn.end(), 0.0);
+    std::fill(en.begin(), en.end(), 0.0);
+    for (idx col = 0; col < n; ++col)
+      for (idx p = w.P.p[col]; p < w.P.p[col + 1]; ++p) {
+        double a = std::fabs(w.P.x[p]);
+        dn[col] = std::max(dn[col], a);
+        dn[w.P.i[p]] = std::max(dn[w.P.i[p]], a);  // symmetric part
+      }
+    for (idx col = 0; col < n; ++col)
+      for (idx p = w.A.p[col]; p < w.A.p[col + 1]; ++p) {
+        double a = std::fabs(w.A.x[p]);
+        dn[col] = std::max(dn[col], a);
+        en[w.A.i[p]] = std::max(en[w.A.i[p]], a);
+      }
+    for (idx j = 0; j < n; ++j) dd[j] = 1.0 / std::sqrt(limit_scaling(dn[j]));
+    for (idx k = 0; k < m; ++k) de[k] = 1.0 / std::sqrt(limit_scaling(en[k]));
+    for (idx col = 0; col < n; ++col)
+      for (idx p = w.P.p[col]; p < w.P.p[col + 1]; ++p)
+        w.P.x[p] *= dd[col] * dd[w.P.i[p]];
+    for (idx col = 0; col < n; ++col)
+      for (idx p = w.A.p[col]; p < w.A.p[col + 1]; ++p)
+        w.A.x[p] *= dd[col] * de[w.A.i[p]];
+    for (idx j = 0; j < n; ++j) {
+      w.q[j] *= dd[j];
+      w.D[j] *= dd[j];
+    }
+    for (idx k = 0; k < m; ++k) {
+      w.l[k] *= de[k];
+      w.u[k] *= de[k];
+      w.E[k] *= de[k];
+    }
+    // cost scaling
+    std::fill(dn.begin(), dn.end(), 0.0);
+    for (idx col = 0; col < n; ++col)
+      for (idx p = w.P.p[col]; p < w.P.p[col + 1]; ++p) {
+        double a = std::fabs(w.P.x[p]);
+        dn[col] = std::max(dn[col], a);
+        dn[w.P.i[p]] = std::max(dn[w.P.i[p]], a);
+      }
+    double avg = 0.0;
+    for (idx j = 0; j < n; ++j) avg += dn[j];
+    avg = n ? avg / n : 0.0;
+    double gamma = 1.0 / limit_scaling(std::max(avg, norm_inf(w.q)));
+    for (auto& v : w.P.x) v *= gamma;
+    for (auto& v : w.q) v *= gamma;
+    w.c *= gamma;
+  }
+  w.Dinv.resize(n);
+  w.Einv.resize(m);
+  for (idx j = 0; j < n; ++j) w.Dinv[j] = 1.0 / w.D[j];
+  for (idx k = 0; k < m; ++k) w.Einv[k] = 1.0 / w.E[k];
+  w.cinv = 1.0 / w.c;
+}
+
+static void set_rho_vec(Work& w) {
+  w.rho_bar = std::clamp(w.rho_bar, RHO_MIN, RHO_MAX);
+  w.rho_vec.resize(w.m);
+  w.rho_inv_vec.resize(w.m);
+  w.ctype.resize(w.m);
+  for (idx k = 0; k < w.m; ++k) {
+    if (w.l[k] <= -INFTY_MIN && w.u[k] >= INFTY_MIN) {
+      w.ctype[k] = -1;
+      w.rho_vec[k] = RHO_MIN;
+    } else if (w.u[k] - w.l[k] < RHO_TOL_EQ) {
+      w.ctype[k] = 1;
+      w.rho_vec[k] = std::clamp(RHO_EQ_SCALE * w.rho_bar, RHO_MIN, RHO_MAX);
+    } else {
+      w.ctype[k] = 0;
+      w.rho_vec[k] = w.rho_bar;
+    }
+    w.rho_inv_vec[k] = 1.0 / w.rho_vec[k];
+  }
+}
+
+// Assemble the upper-triangular KKT [P+sigma I, A'; A, -diag(1/rho)] once,
+// keeping nnz maps for value-only refresh (pattern-immutable updates).
+static void assemble_kkt(Work& w) {
+  const idx n = w.n, m = w.m, N = n + m;
+  transpose(w.A, w.At);
+  w.K.rows = w.K.cols = N;
+  w.K.p.assign(N + 1, 0);
+  w.K.i.clear();
+  w.K.x.clear();
+  w.kP.assign(w.P.x.size(), -1);
+  w.kAt.assign(w.At.x.size(), -1);
+  w.kSig.assign(n, -1);
+  w.kRho.assign(m, -1);
+
+  for (idx col = 0; col < n; ++col) {  // P + sigma I columns
+    bool diag_seen = false;
+    for (idx p = w.P.p[col]; p < w.P.p[col + 1]; ++p) {
+      idx row = w.P.i[p];
+      if (row == col) {
+        diag_seen = true;
+        w.kSig[col] = (idx)w.K.i.size();
+      }
+      w.kP[p] = (idx)w.K.i.size();
+      w.K.i.push_back(row);
+      w.K.x.push_back(0.0);
+    }
+    if (!diag_seen) {  // ensure structural diagonal for sigma
+      w.kSig[col] = (idx)w.K.i.size();
+      w.K.i.push_back(col);
+      w.K.x.push_back(0.0);
+    }
+    w.K.p[col + 1] = (idx)w.K.i.size();
+  }
+  for (idx k = 0; k < m; ++k) {  // [A' ; -1/rho] columns
+    for (idx p = w.At.p[k]; p < w.At.p[k + 1]; ++p) {
+      w.kAt[p] = (idx)w.K.i.size();
+      w.K.i.push_back(w.At.i[p]);  // row < n
+      w.K.x.push_back(0.0);
+    }
+    w.kRho[k] = (idx)w.K.i.size();
+    w.K.i.push_back(n + k);
+    w.K.x.push_back(0.0);
+    w.K.p[n + k + 1] = (idx)w.K.i.size();
+  }
+  ldl_symbolic(N, w.K.p.data(), w.K.i.data(), w.sym);
+}
+
+static void refresh_kkt_values(Work& w) {
+  std::fill(w.K.x.begin(), w.K.x.end(), 0.0);
+  for (idx p = 0; p < (idx)w.P.x.size(); ++p) w.K.x[w.kP[p]] += w.P.x[p];
+  for (idx j = 0; j < w.n; ++j) w.K.x[w.kSig[j]] += w.st.sigma;
+  for (idx p = 0; p < (idx)w.At.x.size(); ++p) w.K.x[w.kAt[p]] = w.At.x[p];
+  for (idx k = 0; k < w.m; ++k) w.K.x[w.kRho[k]] = -w.rho_inv_vec[k];
+}
+
+// returns false on factorization failure or wrong inertia (non-convex)
+static bool factor_kkt(Work& w) {
+  refresh_kkt_values(w);
+  if (!ldl_numeric(w.K.rows, w.K.p.data(), w.K.i.data(), w.K.x.data(),
+                   w.sym, w.fac))
+    return false;
+  if (w.fac.num_pos != w.n) return false;  // quasi-definite inertia check
+  w.factored = true;
+  return true;
+}
+
+struct Residuals {
+  double pri, dua, pri_norm, dua_norm;
+};
+
+static Residuals residuals(Work& w) {
+  const idx n = w.n, m = w.m;
+  std::vector<double> Ax(m), Px(n), Aty(n);
+  mat_vec(w.A, w.xv.data(), Ax.data());
+  sym_mat_vec(w.P, w.xv.data(), Px.data());
+  mat_vec(w.At, w.yv.data(), Aty.data());
+  const bool sc = w.st.scaled_termination != 0;
+  double pri = 0, prn = 0, dua = 0, dun = 0;
+  for (idx k = 0; k < m; ++k) {
+    double e = sc ? 1.0 : w.Einv[k];
+    pri = std::max(pri, std::fabs(e * (Ax[k] - w.zv[k])));
+    prn = std::max({prn, std::fabs(e * Ax[k]), std::fabs(e * w.zv[k])});
+  }
+  for (idx j = 0; j < n; ++j) {
+    double d = sc ? 1.0 : w.Dinv[j];
+    dua = std::max(dua, std::fabs(d * (Px[j] + w.q[j] + Aty[j])));
+    dun = std::max({dun, std::fabs(d * Px[j]), std::fabs(d * Aty[j]),
+                    std::fabs(d * w.q[j])});
+  }
+  double ci = sc ? 1.0 : w.cinv;
+  return {pri, ci * dua, prn, ci * dun};
+}
+
+static bool is_primal_infeasible(Work& w, double eps) {
+  const idx m = w.m, n = w.n;
+  if (m == 0) return false;
+  std::vector<double> dy(m);
+  double nrm = 0;
+  for (idx k = 0; k < m; ++k) {
+    dy[k] = w.cinv * w.E[k] * (w.yv[k] - w.yprev[k]);  // unscaled
+    nrm = std::max(nrm, std::fabs(dy[k]));
+  }
+  if (nrm <= eps) return false;
+  double s = 1.0 / nrm;
+  double lhs = 0;
+  for (idx k = 0; k < m; ++k) {
+    double d = dy[k] * s;
+    double uu = w.Einv[k] * w.u[k], ll = w.Einv[k] * w.l[k];
+    double dp = std::max(d, 0.0), dm = std::min(d, 0.0);
+    if (uu < INFTY_MIN) lhs += uu * dp;
+    else if (dp > eps) return false;
+    if (ll > -INFTY_MIN) lhs += ll * dm;
+    else if (-dm > eps) return false;
+  }
+  if (lhs >= -eps) return false;
+  // ||A' dy||_inf (unscaled): Dinv * At * (Einv*dy_scaledback)
+  std::vector<double> t(m), Atdy(n);
+  for (idx k = 0; k < m; ++k) t[k] = w.Einv[k] * dy[k] * s;
+  mat_vec(w.At, t.data(), Atdy.data());
+  double mn = 0;
+  for (idx j = 0; j < n; ++j) mn = std::max(mn, std::fabs(w.Dinv[j] * Atdy[j]));
+  if (mn > eps) return false;
+  w.dy_cert.resize(m);
+  for (idx k = 0; k < m; ++k) w.dy_cert[k] = dy[k] * s;
+  return true;
+}
+
+static bool is_dual_infeasible(Work& w, double eps) {
+  const idx n = w.n, m = w.m;
+  std::vector<double> dx(n), dxb(n);
+  double nrm = 0;
+  for (idx j = 0; j < n; ++j) {
+    dxb[j] = w.xv[j] - w.xprev[j];
+    dx[j] = w.D[j] * dxb[j];  // unscaled
+    nrm = std::max(nrm, std::fabs(dx[j]));
+  }
+  if (nrm <= eps) return false;
+  double s = 1.0 / nrm;
+  double qdx = 0;
+  for (idx j = 0; j < n; ++j) qdx += (w.cinv * w.Dinv[j] * w.q[j]) * dx[j] * s;
+  if (qdx >= -eps) return false;
+  std::vector<double> Pdx(n);
+  sym_mat_vec(w.P, dxb.data(), Pdx.data());
+  for (idx j = 0; j < n; ++j)
+    if (std::fabs(w.cinv * w.Dinv[j] * Pdx[j] * s) > eps) return false;
+  if (m > 0) {
+    std::vector<double> Adx(m);
+    mat_vec(w.A, dxb.data(), Adx.data());
+    for (idx k = 0; k < m; ++k) {
+      double a = w.Einv[k] * Adx[k] * s;
+      double uu = w.Einv[k] * w.u[k], ll = w.Einv[k] * w.l[k];
+      if (uu < INFTY_MIN && a > eps) return false;
+      if (ll > -INFTY_MIN && a < -eps) return false;
+    }
+  }
+  w.dx_cert.resize(n);
+  for (idx j = 0; j < n; ++j) w.dx_cert[j] = dx[j] * s;
+  return true;
+}
+
+static int check_status(Work& w, double f, bool accurate, Residuals& r) {
+  r = residuals(w);
+  if (std::isnan(r.pri) || std::isnan(r.dua) || r.pri > INFTY || r.dua > INFTY)
+    return NON_CONVEX;
+  if (r.pri <= f * w.st.eps_abs + f * w.st.eps_rel * r.pri_norm &&
+      r.dua <= f * w.st.eps_abs + f * w.st.eps_rel * r.dua_norm)
+    return accurate ? SOLVED : SOLVED_INACCURATE;
+  if (is_primal_infeasible(w, f * w.st.eps_prim_inf))
+    return accurate ? PRIMAL_INF : PRIMAL_INF_INACC;
+  if (is_dual_infeasible(w, f * w.st.eps_dual_inf))
+    return accurate ? DUAL_INF : DUAL_INF_INACC;
+  return RUNNING;
+}
+
+static void compute_objective(Work& w) {
+  std::vector<double> Px(w.n);
+  sym_mat_vec(w.P, w.xv.data(), Px.data());
+  double o = 0;
+  for (idx j = 0; j < w.n; ++j) o += 0.5 * w.xv[j] * Px[j] + w.q[j] * w.xv[j];
+  w.obj = w.cinv * o;
+}
+
+static void polish_solution(Work& w, double admm_pri, double admm_dua);
+
+static int admm_solve(Work& w) {
+  const idx n = w.n, m = w.m;
+  if (!w.factored && !factor_kkt(w)) return NON_CONVEX;
+  std::vector<double> rhs(n + m), xt(n), zt(m), v(m);
+  w.status = RUNNING;
+  Residuals r{0, 0, 0, 0};
+  idx interval = w.st.adaptive_rho_interval > 0 ? w.st.adaptive_rho_interval
+                                                : 100;
+  w.iter = 0;
+  for (idx it = 1; it <= w.st.max_iter; ++it) {
+    w.iter = it;
+    w.xprev = w.xv;
+    w.yprev = w.yv;
+    // KKT solve
+    for (idx j = 0; j < n; ++j) rhs[j] = w.st.sigma * w.xv[j] - w.q[j];
+    for (idx k = 0; k < m; ++k)
+      rhs[n + k] = w.zv[k] - w.rho_inv_vec[k] * w.yv[k];
+    ldl_solve(w.sym, w.fac, rhs.data());
+    for (idx j = 0; j < n; ++j) xt[j] = rhs[j];
+    for (idx k = 0; k < m; ++k)
+      zt[k] = w.zv[k] + w.rho_inv_vec[k] * (rhs[n + k] - w.yv[k]);
+    // relax / project / dual
+    const double a = w.st.alpha;
+    for (idx j = 0; j < n; ++j) w.xv[j] = a * xt[j] + (1 - a) * w.xv[j];
+    for (idx k = 0; k < m; ++k) {
+      double vk = a * zt[k] + (1 - a) * w.zv[k] + w.rho_inv_vec[k] * w.yv[k];
+      double znew = std::clamp(vk, w.l[k], w.u[k]);
+      w.yv[k] = w.rho_vec[k] * (vk - znew);
+      w.zv[k] = znew;
+    }
+    // termination
+    bool checked = false;
+    if (w.st.check_termination > 0 && it % w.st.check_termination == 0) {
+      int s = check_status(w, 1.0, true, r);
+      checked = true;
+      if (s != RUNNING) {
+        w.status = s;
+        break;
+      }
+    }
+    // adaptive rho
+    if (w.st.adaptive_rho && it % interval == 0) {
+      if (!checked) r = residuals(w);
+      double pr = r.pri / std::max(r.pri_norm, DIV_GUARD);
+      double dr = std::max(r.dua / std::max(r.dua_norm, DIV_GUARD), DIV_GUARD);
+      double est = std::clamp(w.rho_bar * std::sqrt(pr / dr), RHO_MIN, RHO_MAX);
+      if (std::isfinite(est)) {
+        w.rho_estimate = est;
+        if (est > w.rho_bar * w.st.adaptive_rho_tolerance ||
+            est < w.rho_bar / w.st.adaptive_rho_tolerance) {
+          w.rho_bar = est;
+          set_rho_vec(w);
+          if (!factor_kkt(w)) {
+            w.status = NON_CONVEX;
+            break;
+          }
+          w.rho_updates += 1;
+        }
+      }
+    }
+  }
+  if (w.status == RUNNING) {
+    w.status = MAX_ITER;
+    if (w.st.check_termination > 0) {
+      int s = check_status(w, 10.0, false, r);
+      if (s != RUNNING && s != NON_CONVEX) w.status = s;
+      if (s == NON_CONVEX) w.status = NON_CONVEX;
+    } else {
+      r = residuals(w);
+    }
+  }
+  w.pri_res = r.pri;
+  w.dua_res = r.dua;
+  compute_objective(w);
+  if (w.status == NON_CONVEX) w.obj = NAN;
+  if (w.status == PRIMAL_INF || w.status == PRIMAL_INF_INACC) w.obj = INFINITY;
+  if (w.status == DUAL_INF || w.status == DUAL_INF_INACC) w.obj = -INFINITY;
+  w.status_polish = 0;
+  if (w.st.polish && w.status == SOLVED) polish_solution(w, r.pri, r.dua);
+  return w.status;
+}
+
+// Active-set polish with gathered rows (dynamic sizes are free on CPU).
+static void polish_solution(Work& w, double admm_pri, double admm_dua) {
+  const idx n = w.n, m = w.m;
+  std::vector<idx> act;
+  std::vector<double> b;
+  for (idx k = 0; k < m; ++k) {
+    if (w.yv[k] < 0) {
+      act.push_back(k);
+      b.push_back(w.l[k]);
+    } else if (w.yv[k] > 0) {
+      act.push_back(k);
+      b.push_back(w.u[k]);
+    }
+  }
+  const idx ma = (idx)act.size(), N = n + ma;
+  // build reduced KKT [P+delta I, Aact'; Aact, -delta I] upper CSC
+  // columns 0..n-1: P upper + delta diag; columns n+j: Aact row j + diag.
+  // Aact rows in CSR = rows of A = columns of At.
+  CSC K;
+  K.rows = K.cols = N;
+  K.p.assign(N + 1, 0);
+  std::vector<idx> pos_of(m, -1);
+  for (idx j = 0; j < ma; ++j) pos_of[act[j]] = j;
+  for (idx col = 0; col < n; ++col) {
+    bool diag = false;
+    for (idx p = w.P.p[col]; p < w.P.p[col + 1]; ++p) {
+      K.i.push_back(w.P.i[p]);
+      double val = w.P.x[p];
+      if (w.P.i[p] == col) {
+        val += w.st.delta;
+        diag = true;
+      }
+      K.x.push_back(val);
+    }
+    if (!diag) {
+      K.i.push_back(col);
+      K.x.push_back(w.st.delta);
+    }
+    K.p[col + 1] = (idx)K.i.size();
+  }
+  for (idx j = 0; j < ma; ++j) {
+    idx row = act[j];
+    for (idx p = w.At.p[row]; p < w.At.p[row + 1]; ++p) {
+      K.i.push_back(w.At.i[p]);
+      K.x.push_back(w.At.x[p]);
+    }
+    K.i.push_back(n + j);
+    K.x.push_back(-w.st.delta);
+    K.p[n + j + 1] = (idx)K.i.size();
+  }
+  LDLSymbolic sym;
+  LDLFactor fac;
+  if (!ldl_symbolic(N, K.p.data(), K.i.data(), sym) ||
+      !ldl_numeric(N, K.p.data(), K.i.data(), K.x.data(), sym, fac)) {
+    w.status_polish = -1;
+    return;
+  }
+  std::vector<double> rhs(N), sol(N, 0.0);
+  for (idx j = 0; j < n; ++j) rhs[j] = -w.q[j];
+  for (idx j = 0; j < ma; ++j) rhs[n + j] = b[j];
+  std::vector<double> t(N);
+  t = rhs;
+  ldl_solve(sym, fac, t.data());
+  sol = t;
+  // iterative refinement against the unregularized KKT
+  std::vector<double> Px(n), Aty(n), Ax(ma), resid(N);
+  for (idx r = 0; r < w.st.polish_refine_iter; ++r) {
+    sym_mat_vec(w.P, sol.data(), Px.data());
+    // Aact' y and Aact x
+    std::fill(Aty.begin(), Aty.end(), 0.0);
+    for (idx j = 0; j < ma; ++j) {
+      idx row = act[j];
+      double yj = sol[n + j];
+      double ax = 0;
+      for (idx p = w.At.p[row]; p < w.At.p[row + 1]; ++p) {
+        Aty[w.At.i[p]] += w.At.x[p] * yj;
+        ax += w.At.x[p] * sol[w.At.i[p]];
+      }
+      Ax[j] = ax;
+    }
+    for (idx j = 0; j < n; ++j) resid[j] = rhs[j] - (Px[j] + Aty[j]);
+    for (idx j = 0; j < ma; ++j) resid[n + j] = rhs[n + j] - Ax[j];
+    ldl_solve(sym, fac, resid.data());
+    for (idx j = 0; j < N; ++j) sol[j] += resid[j];
+  }
+  // candidate solution
+  std::vector<double> x_old = w.xv, y_old = w.yv, z_old = w.zv;
+  for (idx j = 0; j < n; ++j) w.xv[j] = sol[j];
+  std::fill(w.yv.begin(), w.yv.end(), 0.0);
+  for (idx j = 0; j < ma; ++j) w.yv[act[j]] = sol[n + j];
+  std::vector<double> Axf(m);
+  mat_vec(w.A, w.xv.data(), Axf.data());
+  for (idx k = 0; k < m; ++k) w.zv[k] = std::clamp(Axf[k], w.l[k], w.u[k]);
+  Residuals rp = residuals(w);
+  bool ok = std::isfinite(rp.pri) && std::isfinite(rp.dua);
+  bool bp = rp.pri < admm_pri, bd = rp.dua < admm_dua;
+  ok = ok && ((bp && bd) || (bp && admm_dua < 1e-10) ||
+              (bd && admm_pri < 1e-10));
+  if (ok) {
+    w.status_polish = 1;
+    w.pri_res = rp.pri;
+    w.dua_res = rp.dua;
+    compute_objective(w);
+  } else {
+    w.status_polish = -1;
+    w.xv = x_old;
+    w.yv = y_old;
+    w.zv = z_old;
+  }
+}
+
+}  // namespace tpuqp
+
+// ----------------------------------------------------------------- C ABI ---
+using namespace tpuqp;
+
+extern "C" {
+
+// settings array layout (doubles):
+// [rho, sigma, alpha, eps_abs, eps_rel, eps_prim_inf, eps_dual_inf,
+//  max_iter, check_termination, scaling, adaptive_rho, adaptive_rho_interval,
+//  adaptive_rho_tolerance, polish, polish_refine_iter, delta,
+//  scaled_termination]
+static void load_settings(Settings& s, const double* a) {
+  s.rho = a[0];
+  s.sigma = a[1];
+  s.alpha = a[2];
+  s.eps_abs = a[3];
+  s.eps_rel = a[4];
+  s.eps_prim_inf = a[5];
+  s.eps_dual_inf = a[6];
+  s.max_iter = (idx)a[7];
+  s.check_termination = (idx)a[8];
+  s.scaling = (idx)a[9];
+  s.adaptive_rho = (idx)a[10];
+  s.adaptive_rho_interval = (idx)a[11];
+  s.adaptive_rho_tolerance = a[12];
+  s.polish = (idx)a[13];
+  s.polish_refine_iter = (idx)a[14];
+  s.delta = a[15];
+  s.scaled_termination = (idx)a[16];
+}
+
+void* tpuqp_setup(int64_t n, int64_t m, const int64_t* Pp, const int64_t* Pi,
+                  const double* Px, const int64_t* Ap, const int64_t* Ai,
+                  const double* Ax, const double* q, const double* l,
+                  const double* u, const double* settings, int64_t* err) {
+  auto* w = new Work();
+  w->n = n;
+  w->m = m;
+  load_settings(w->st, settings);
+  w->P.rows = w->P.cols = n;
+  w->P.p.assign(Pp, Pp + n + 1);
+  w->P.i.assign(Pi, Pi + Pp[n]);
+  w->P.x.assign(Px, Px + Pp[n]);
+  w->A.rows = m;
+  w->A.cols = n;
+  w->A.p.assign(Ap, Ap + n + 1);
+  w->A.i.assign(Ai, Ai + Ap[n]);
+  w->A.x.assign(Ax, Ax + Ap[n]);
+  w->q.assign(q, q + n);
+  w->l.resize(m);
+  w->u.resize(m);
+  for (idx k = 0; k < m; ++k) {
+    w->l[k] = std::max(l[k], -INFTY);
+    w->u[k] = std::min(u[k], INFTY);
+  }
+  ruiz(*w);
+  w->rho_bar = w->st.rho;
+  set_rho_vec(*w);
+  assemble_kkt(*w);
+  if (!factor_kkt(*w)) {
+    *err = 1;  // non-convex or singular
+    delete w;
+    return nullptr;
+  }
+  w->xv.assign(n, 0.0);
+  w->yv.assign(m, 0.0);
+  w->zv.assign(m, 0.0);
+  w->xprev = w->xv;
+  w->yprev = w->yv;
+  *err = 0;
+  return w;
+}
+
+int64_t tpuqp_solve(void* h, double* x, double* y, double* info,
+                    double* prim_cert, double* dual_cert) {
+  auto* w = (Work*)h;
+  int s = admm_solve(*w);
+  for (idx j = 0; j < w->n; ++j) x[j] = w->D[j] * w->xv[j];
+  for (idx k = 0; k < w->m; ++k) y[k] = w->cinv * w->E[k] * w->yv[k];
+  info[0] = s;
+  info[1] = (double)w->iter;
+  info[2] = w->obj;
+  info[3] = w->pri_res;
+  info[4] = w->dua_res;
+  info[5] = (double)w->rho_updates;
+  info[6] = w->rho_estimate;
+  info[7] = (double)w->status_polish;
+  if (prim_cert) {
+    for (idx k = 0; k < w->m; ++k)
+      prim_cert[k] = (idx)w->dy_cert.size() == w->m ? w->dy_cert[k] : NAN;
+  }
+  if (dual_cert) {
+    for (idx j = 0; j < w->n; ++j)
+      dual_cert[j] = (idx)w->dx_cert.size() == w->n ? w->dx_cert[j] : NAN;
+  }
+  return s;
+}
+
+int64_t tpuqp_update_q(void* h, const double* q) {
+  auto* w = (Work*)h;
+  for (idx j = 0; j < w->n; ++j) w->q[j] = w->c * w->D[j] * q[j];
+  return 0;
+}
+
+int64_t tpuqp_update_bounds(void* h, const double* l, const double* u) {
+  auto* w = (Work*)h;
+  for (idx k = 0; k < w->m; ++k) {
+    double lk = std::max(l[k], -INFTY), uk = std::min(u[k], INFTY);
+    if (lk > uk) return 1;
+    w->l[k] = w->E[k] * lk;
+    w->u[k] = w->E[k] * uk;
+  }
+  std::vector<int> old = w->ctype;
+  set_rho_vec(*w);
+  if (old != w->ctype) {
+    if (!factor_kkt(*w)) return 2;
+  }
+  return 0;
+}
+
+// value-only updates against the setup pattern (vals has nnz or subset size)
+int64_t tpuqp_update_P(void* h, const double* vals, const int64_t* idxs,
+                       int64_t nvals) {
+  auto* w = (Work*)h;
+  if (idxs == nullptr) {
+    if (nvals != (int64_t)w->P.x.size()) return 1;
+    // incoming values are unscaled: rescale with setup scaling c*D*D
+    idx p = 0;
+    for (idx col = 0; col < w->n; ++col)
+      for (idx q = w->P.p[col]; q < w->P.p[col + 1]; ++q, ++p)
+        w->P.x[q] = w->c * w->D[col] * w->D[w->P.i[q]] * vals[p];
+  } else {
+    for (int64_t t = 0; t < nvals; ++t) {
+      idx p = idxs[t];
+      if (p < 0 || p >= (idx)w->P.x.size()) return 2;
+      // find column of entry p (linear scan ok: updates are rare)
+      idx col = 0;
+      while (w->P.p[col + 1] <= p) ++col;
+      w->P.x[p] = w->c * w->D[col] * w->D[w->P.i[p]] * vals[t];
+    }
+  }
+  return factor_kkt(*w) ? 0 : 3;
+}
+
+int64_t tpuqp_update_A(void* h, const double* vals, const int64_t* idxs,
+                       int64_t nvals) {
+  auto* w = (Work*)h;
+  if (idxs == nullptr) {
+    if (nvals != (int64_t)w->A.x.size()) return 1;
+    idx p = 0;
+    for (idx col = 0; col < w->n; ++col)
+      for (idx q = w->A.p[col]; q < w->A.p[col + 1]; ++q, ++p)
+        w->A.x[q] = w->E[w->A.i[q]] * w->D[col] * vals[p];
+  } else {
+    for (int64_t t = 0; t < nvals; ++t) {
+      idx p = idxs[t];
+      if (p < 0 || p >= (idx)w->A.x.size()) return 2;
+      idx col = 0;
+      while (w->A.p[col + 1] <= p) ++col;
+      w->A.x[p] = w->E[w->A.i[p]] * w->D[col] * vals[t];
+    }
+  }
+  transpose(w->A, w->At);
+  return factor_kkt(*w) ? 0 : 3;
+}
+
+int64_t tpuqp_warm_start(void* h, const double* x, const double* y) {
+  auto* w = (Work*)h;
+  if (x) {
+    for (idx j = 0; j < w->n; ++j) w->xv[j] = w->Dinv[j] * x[j];
+  } else {
+    std::fill(w->xv.begin(), w->xv.end(), 0.0);
+  }
+  if (y) {
+    for (idx k = 0; k < w->m; ++k) w->yv[k] = w->c * w->Einv[k] * y[k];
+  } else {
+    std::fill(w->yv.begin(), w->yv.end(), 0.0);
+  }
+  std::vector<double> Ax(w->m);
+  mat_vec(w->A, w->xv.data(), Ax.data());
+  w->zv = Ax;
+  return 0;
+}
+
+int64_t tpuqp_update_rho(void* h, double rho) {
+  auto* w = (Work*)h;
+  w->rho_bar = rho;
+  set_rho_vec(*w);
+  return factor_kkt(*w) ? 0 : 1;
+}
+
+void tpuqp_cleanup(void* h) { delete (Work*)h; }
+
+}  // extern "C"

@@ -21,15 +21,19 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from .batch_core import solve_batch as _batched_solve_impl
 from .core import dyn_from_settings, solve
 from .settings import Settings
 from .types import QPData, SolveOutput
 
 
-def _vmapped_solve(data: QPData, dyn, scaling_iters, x0, y0) -> SolveOutput:
-    return jax.vmap(
-        lambda d, xx, yy: solve(d, dyn, scaling_iters, xx, yy)
-    )(data, x0, y0)
+def _vmapped_solve(data: QPData, dyn, scaling_iters, x0, y0,
+                   kkt_mode: str = "inverse") -> SolveOutput:
+    """Batched solve. Implemented by the natively-batched engine
+    (:mod:`osqp_tpu.batch_core`), NOT ``vmap(solve)`` — vmapping the
+    while_loop would execute both branches of the adaptive-rho ``lax.cond``,
+    running the batched Cholesky refactorization every iteration."""
+    return _batched_solve_impl(data, dyn, scaling_iters, x0, y0, kkt_mode)
 
 
 class BatchedSolver:
@@ -48,10 +52,15 @@ class BatchedSolver:
     """
 
     def __init__(self, settings: Optional[Settings] = None,
-                 mesh: Optional[Mesh] = None, axis_name: str = "b"):
+                 mesh: Optional[Mesh] = None, axis_name: str = "b",
+                 kkt_mode: str = "inverse"):
+        """``kkt_mode``: "inverse" (default — explicit R⁻¹, one batched GEMV
+        per iteration, the fast path for the eps~1e-3 MPC regime) or "chol"
+        (triangular solves; use for high-accuracy f64 conformance runs)."""
         self.settings = settings or Settings()
         self.mesh = mesh
         self.axis_name = axis_name
+        self.kkt_mode = kkt_mode
         if mesh is not None:
             # batch axis sharded on every stacked leaf; dyn scalars replicated
             def shard(ndim):
@@ -61,9 +70,11 @@ class BatchedSolver:
                 QPData(P=shard(3), q=shard(2), A=shard(3),
                        l=shard(2), u=shard(2)),
                 None, None, shard(2), shard(2))
-            self._jit = jax.jit(_vmapped_solve, in_shardings=in_shardings)
+            self._jit = jax.jit(_vmapped_solve, in_shardings=in_shardings,
+                                static_argnames=("kkt_mode",))
         else:
-            self._jit = jax.jit(_vmapped_solve)
+            self._jit = jax.jit(_vmapped_solve,
+                                static_argnames=("kkt_mode",))
 
     def solve(self, Pm, q, A, l, u, x0=None, y0=None) -> SolveOutput:
         s = self.settings
@@ -83,7 +94,8 @@ class BatchedSolver:
         y0 = jnp.zeros((B, m), dtype) if y0 is None else jnp.asarray(y0, dtype)
         data = QPData(P=Pm, q=q, A=A, l=l, u=u)
         dyn = dyn_from_settings(s, dtype)
-        return self._jit(data, dyn, jnp.int32(s.scaling), x0, y0)
+        return self._jit(data, dyn, jnp.int32(s.scaling), x0, y0,
+                         self.kkt_mode)
 
 
 def solve_batch(Pm, q, A, l, u, settings: Optional[Settings] = None,

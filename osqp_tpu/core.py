@@ -30,7 +30,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from . import constants as C
-from .linalg import cg_solve, chol_factor, chol_solve, inf_norm, reduced_kkt
+from .linalg import (cg_solve, chol_factor, chol_solve, inf_norm,
+                     reduced_kkt, with_precision)
 from .scaling import identity_scaling, ruiz_equilibrate
 from .types import DynParams, QPData, ScalingData, SolveOutput
 
@@ -234,6 +235,7 @@ def _kkt_matvec(sdata: QPData, sigma, rho_vec):
     return mv
 
 
+@with_precision
 def init_factor(sdata: QPData, sigma, rho_bar,
                 indirect: bool = False) -> FactorState:
     dtype = sdata.P.dtype
@@ -282,6 +284,7 @@ def admm_step(sdata: QPData, dyn: DynParams, carry: Carry,
     return x_new, y_new, z_new
 
 
+@with_precision
 def solve_scaled(sdata: QPData, scal: ScalingData, dyn: DynParams,
                  x0, y0, z0, fs: FactorState, linsys: str = "direct"):
     """Run the ADMM loop on pre-scaled data from the given (scaled) start,

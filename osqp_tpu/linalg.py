@@ -10,6 +10,35 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+#: Default matmul precision for all solver linear algebra. On TPU, XLA's
+#: default f32 matmul runs in bfloat16 passes (~8-bit mantissa) — enough to
+#: destroy Cholesky/triangular-solve accuracy and stall ADMM convergence.
+#: "float32" (HIGHEST) uses full-precision passes. Overridable for
+#: experiments via set_matmul_precision("tensorfloat32").
+_MATMUL_PRECISION = "float32"
+
+
+def set_matmul_precision(p: str) -> None:
+    global _MATMUL_PRECISION
+    _MATMUL_PRECISION = p
+
+
+def precision_scope():
+    """Context manager pinning matmul precision; enter during tracing."""
+    return jax.default_matmul_precision(_MATMUL_PRECISION)
+
+
+def with_precision(fn):
+    """Decorator: trace ``fn`` under the solver's matmul precision."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with precision_scope():
+            return fn(*args, **kwargs)
+
+    return wrapper
+
 
 def inf_norm(v):
     """∞-norm that returns 0 for empty vectors (m = 0 problems)."""

@@ -27,7 +27,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 from jax import lax
 
-from .linalg import chol_factor, chol_solve, sym
+from .linalg import chol_factor, chol_solve, sym, with_precision
 from .core import residual_norms
 from .types import DynParams, QPData, ScalingData
 
@@ -42,6 +42,7 @@ class PolishOutput(NamedTuple):
     success: jnp.ndarray  # bool: both residuals strictly improved
 
 
+@with_precision
 def polish(sdata: QPData, scal: ScalingData, dyn: DynParams,
            delta, refine_iters, xbar, ybar,
            admm_pri_res, admm_dua_res) -> PolishOutput:

@@ -1,0 +1,150 @@
+"""Native C++ backend (native/solver.cpp via ctypes) — differential tests
+against the JAX engine and the reference contracts."""
+
+import numpy as np
+import pytest
+
+import osqp_tpu as osqp
+from osqp_tpu.native import NativeModel
+
+TOL = 1e-4
+
+
+def make_problem(n=30, m=50, seed=0, sparse_frac=0.5):
+    rng = np.random.RandomState(seed)
+    M = rng.randn(n, n) * (rng.rand(n, n) < sparse_frac)
+    P = M.T @ M + 0.2 * np.eye(n)
+    q = rng.randn(n)
+    A = rng.randn(m, n) * (rng.rand(m, n) < sparse_frac)
+    l = -1 - rng.rand(m)
+    u = 1 + rng.rand(m)
+    return P, q, A, l, u
+
+
+def test_native_matches_jax():
+    P, q, A, l, u = make_problem()
+    kw = dict(eps_abs=1e-6, eps_rel=1e-6)
+    nm = NativeModel().setup(P=P, q=q, A=A, l=l, u=u, **kw)
+    rn = nm.solve()
+    jm = osqp.Model()
+    jm.setup(P=P, q=q, A=A, l=l, u=u, verbose=False, **kw)
+    rj = jm.solve()
+    assert rn.info.status == rj.info.status == "Solved"
+    np.testing.assert_allclose(rn.x, rj.x, atol=TOL)
+    np.testing.assert_allclose(rn.y, rj.y, atol=TOL)
+    assert abs(rn.info.obj_val - rj.info.obj_val) < TOL
+
+
+def test_native_basic_qp_exact():
+    # the reference basic QP expected values (test/basic.jl:43-49)
+    P = np.array([[11.0, 0.0], [0.0, 0.0]])
+    q = np.array([3.0, 4.0])
+    A = np.array([[-1.0, 0], [0, -1.0], [-1, -3.0], [2, 5.0], [3, 4.0]])
+    u = np.array([0.0, 0.0, -15.0, 100.0, 80.0])
+    l = -np.inf * np.ones(5)
+    nm = NativeModel().setup(P=P, q=q, A=A, l=l, u=u,
+                             eps_abs=1e-9, eps_rel=1e-9,
+                             check_termination=1, rho=0.1,
+                             adaptive_rho=False)
+    r = nm.solve()
+    assert r.info.status == "Solved"
+    np.testing.assert_allclose(r.x, [0.0, 5.0], atol=1e-5)
+    np.testing.assert_allclose(
+        r.y, [1.666666666, 0.0, 1.33333333, 0.0, 0.0], atol=1e-5)
+    assert abs(r.info.obj_val - 20.0) < 1e-5
+
+
+def test_native_polish():
+    P, q, A, l, u = make_problem(seed=3)
+    nm = NativeModel().setup(P=P, q=q, A=A, l=l, u=u,
+                             eps_abs=1e-3, eps_rel=1e-3, polish=True)
+    r = nm.solve()
+    assert r.info.status == "Solved"
+    assert r.info.status_polish == 1
+    # polished KKT residuals should be tiny
+    stat = np.linalg.norm(P @ r.x + q + A.T @ r.y, np.inf)
+    assert stat < 1e-6
+
+
+def test_native_primal_infeasible():
+    P = np.zeros((2, 2))
+    q = np.array([-1.0, -1.0])
+    A = np.array([[1.0, 0.0], [1.0, 0.0]])
+    l = np.array([1.0, 3.0])
+    u = np.array([2.0, 4.0])
+    nm = NativeModel().setup(P=P, q=q, A=A, l=l, u=u)
+    r = nm.solve()
+    assert r.info.status == "Primal_infeasible"
+    assert np.all(np.isnan(r.x))
+    dy = r.prim_inf_cert
+    assert u @ np.maximum(dy, 0) + l @ np.minimum(dy, 0) < 0
+
+
+def test_native_dual_infeasible():
+    P = np.zeros((2, 2))
+    q = np.array([2.0, -1.0])
+    A = np.eye(2)
+    l = np.zeros(2)
+    u = np.inf * np.ones(2)
+    nm = NativeModel().setup(P=P, q=q, A=A, l=l, u=u,
+                             eps_abs=1e-5, eps_rel=1e-5,
+                             eps_prim_inf=1e-15, check_termination=1)
+    r = nm.solve()
+    assert r.info.status == "Dual_infeasible"
+
+
+def test_native_nonconvex_setup_fails():
+    P = np.array([[2.0, 5.0], [5.0, 1.0]])
+    q = np.array([3.0, 4.0])
+    A = np.eye(2)
+    with pytest.raises(ValueError):
+        NativeModel().setup(P=P, q=q, A=A, l=-np.ones(2), u=np.ones(2),
+                            sigma=1e-6)
+
+
+def test_native_update_and_warm_start():
+    P, q, A, l, u = make_problem(seed=5)
+    nm = NativeModel().setup(P=P, q=q, A=A, l=l, u=u,
+                             eps_abs=1e-6, eps_rel=1e-6)
+    r1 = nm.solve()
+    nm.update(q=q * 2.0)
+    nm.update(l=l - 0.5, u=u + 0.5)
+    r2 = nm.solve()
+    jm = osqp.Model()
+    jm.setup(P=P, q=q * 2.0, A=A, l=l - 0.5, u=u + 0.5, verbose=False,
+             eps_abs=1e-6, eps_rel=1e-6)
+    rj = jm.solve()
+    np.testing.assert_allclose(r2.x, rj.x, atol=TOL)
+
+    nm.warm_start(x=r2.x, y=r2.y)
+    r3 = nm.solve()
+    assert r3.info.iter <= 50
+
+
+def test_native_update_P_A_values():
+    P, q, A, l, u = make_problem(n=8, m=12, seed=7, sparse_frac=0.8)
+    nm = NativeModel().setup(P=P, q=q, A=A, l=l, u=u,
+                             eps_abs=1e-7, eps_rel=1e-7)
+    nm.solve()
+    # scale all P (triu csc order) and A values
+    Pv = nm._P_pat.vals * 1.5
+    Av = nm._A_pat.vals * 0.8
+    nm.update(Px=Pv, Ax=Av)
+    r = nm.solve()
+    jm = osqp.Model()
+    jm.setup(P=P * 1.5, q=q, A=A * 0.8, l=l, u=u, verbose=False,
+             eps_abs=1e-7, eps_rel=1e-7)
+    rj = jm.solve()
+    np.testing.assert_allclose(r.x, rj.x, atol=TOL)
+
+
+def test_native_unconstrained():
+    rng = np.random.RandomState(2)
+    n = 12
+    P = np.diag(rng.rand(n) + 0.3)
+    q = rng.randn(n)
+    nm = NativeModel().setup(P=P, q=q, eps_abs=1e-8, eps_rel=1e-8,
+                             eps_dual_inf=1e-18)
+    r = nm.solve()
+    assert r.info.status == "Solved"
+    np.testing.assert_allclose(r.x, -np.linalg.solve(P, q), atol=1e-5)
