@@ -49,7 +49,9 @@ def main():
 
     settings = Settings(eps_abs=1e-3, eps_rel=1e-3, polish=False,
                         verbose=False, dtype=np.float32)
-    solver = BatchedSolver(settings=settings)
+    # shared-structure engine: one factorization + fused GEMM kernel
+    # (P and A are shared across the MPC batch)
+    solver = BatchedSolver(settings=settings, kkt_mode="shared")
 
     # warmup / compile
     t0 = time.perf_counter()

@@ -24,6 +24,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .batch_core import solve_batch as _batched_solve_impl
 from .core import dyn_from_settings, solve
 from .settings import Settings
+from .shared_core import solve_shared as _shared_solve_impl
 from .types import QPData, SolveOutput
 
 
@@ -75,6 +76,11 @@ class BatchedSolver:
         else:
             self._jit = jax.jit(_vmapped_solve,
                                 static_argnames=("kkt_mode",))
+        self._shared_jit = jax.jit(
+            lambda P, A, q, l, u, dyn, sc, x0, y0, group, interpret:
+            _shared_solve_impl(P, A, q, l, u, dyn, sc, x0, y0,
+                               group=group, interpret=interpret),
+            static_argnames=("group", "interpret"))
 
     def solve(self, Pm, q, A, l, u, x0=None, y0=None) -> SolveOutput:
         s = self.settings
@@ -86,14 +92,26 @@ class BatchedSolver:
         u = jnp.asarray(u, dtype)
         B, n = q.shape
         m = l.shape[-1]
+        x0 = jnp.zeros((B, n), dtype) if x0 is None else jnp.asarray(x0, dtype)
+        y0 = jnp.zeros((B, m), dtype) if y0 is None else jnp.asarray(y0, dtype)
+        dyn = dyn_from_settings(s, dtype)
+        if self.kkt_mode == "shared":
+            if Pm.ndim != 2 or A.ndim != 2:
+                raise ValueError(
+                    "kkt_mode='shared' requires one shared P (n,n) and "
+                    "A (m,n) for the whole batch")
+            interpret = jax.default_backend() not in ("tpu", "axon")
+            group = 128
+            while B % group != 0:
+                group //= 2
+            return self._shared_jit(Pm, A, q, l, u, dyn,
+                                    jnp.int32(s.scaling), x0, y0,
+                                    group, interpret)
         if Pm.ndim == 2:  # shared P / A broadcast across the batch
             Pm = jnp.broadcast_to(Pm, (B, n, n))
         if A.ndim == 2:
             A = jnp.broadcast_to(A, (B, m, n))
-        x0 = jnp.zeros((B, n), dtype) if x0 is None else jnp.asarray(x0, dtype)
-        y0 = jnp.zeros((B, m), dtype) if y0 is None else jnp.asarray(y0, dtype)
         data = QPData(P=Pm, q=q, A=A, l=l, u=u)
-        dyn = dyn_from_settings(s, dtype)
         return self._jit(data, dyn, jnp.int32(s.scaling), x0, y0,
                          self.kkt_mode)
 

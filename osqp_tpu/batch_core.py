@@ -239,8 +239,14 @@ def solve_batch_scaled(sdata: QPData, scal: ScalingData, dyn: DynParams,
         )
 
     final = lax.while_loop(cond_fun, body_fun, carry0)
+    return _finalize(sdata, scal, dyn, final, v_check_approx)
 
-    # ---- post-loop: lanes still RUNNING hit max_iter → approximate check ----
+
+def _finalize(sdata, scal, dyn, final: BCarry, v_check_approx) -> SolveOutput:
+    """Shared post-loop packaging: approximate check at max_iter, unscaling,
+    certificates, objective/status conventions."""
+    dtype = final.x.dtype
+    # ---- lanes still RUNNING hit max_iter → approximate check ----
     hit_max = final.status == C.RUNNING
     dx = final.x - final.x_prev
     dy = final.y - final.y_prev
@@ -290,11 +296,147 @@ def solve_batch_scaled(sdata: QPData, scal: ScalingData, dyn: DynParams,
     )
 
 
+@with_precision
+def solve_batch_fused(sdata: QPData, scal: ScalingData, dyn: DynParams,
+                      x0, y0, z0, interpret: bool = False) -> SolveOutput:
+    """Batched ADMM with the fused Pallas iteration kernel.
+
+    Each outer epoch runs ``check_termination`` iterations entirely in VMEM
+    (ops/fused_iter.py), then checks termination / adapts rho at the chunk
+    boundary — the same cadence as the C core's check_termination-strided
+    checks. The adaptive-rho interval is rounded to a multiple of the chunk.
+    Inverse KKT mode only.
+    """
+    from .ops.fused_iter import admm_iterate
+
+    dtype = sdata.P.dtype
+    B, n = x0.shape
+    m = y0.shape[1]
+
+    loose, eq = constraint_masks(sdata.l, sdata.u)
+    rho0 = jnp.clip(jnp.broadcast_to(dyn.rho_bar, (B,)).astype(dtype),
+                    C.RHO_MIN, C.RHO_MAX)
+    rho_vec, rho_inv = build_rho_vec(loose, eq, rho0[:, None])
+    L0 = _batched_factor(sdata.P, sdata.A, dyn.sigma, rho_vec, "inverse")
+
+    chunk = jnp.maximum(dyn.check_termination, 1)
+    # rho interval rounded to a whole number of chunks
+    rho_int = jnp.maximum(
+        jnp.round(jnp.maximum(dyn.adaptive_rho_interval, 1) / chunk), 1
+    ).astype(jnp.int32) * chunk
+
+    v_check = jax.vmap(
+        lambda sd, sc, x, y, z, dx, dy: termination_status(
+            sd, sc, dyn, x, y, z, dx, dy,
+            jnp.asarray(1.0, dtype), accurate=True))
+    v_check_approx = jax.vmap(
+        lambda sd, sc, x, y, z, dx, dy: termination_status(
+            sd, sc, dyn, x, y, z, dx, dy,
+            jnp.asarray(C.INACCURATE_EPS_FACTOR, dtype), accurate=False))
+
+    inf0 = jnp.full((B,), jnp.inf, dtype)
+    carry0 = BCarry(
+        x=x0, y=y0, z=z0, x_prev=x0, y_prev=y0, L=L0,
+        rho_vec=rho_vec, rho_inv=rho_inv, rho_bar=rho0,
+        it=jnp.int32(0),
+        status=jnp.full((B,), C.RUNNING, jnp.int32),
+        iters=jnp.zeros((B,), jnp.int32),
+        pri_res=inf0, dua_res=inf0,
+        rho_estimate=rho0,
+        rho_updates=jnp.zeros((B,), jnp.int32),
+    )
+
+    def cond_fun(c: BCarry):
+        return jnp.any(c.status == C.RUNNING) & (c.it < dyn.max_iter)
+
+    def body_fun(c: BCarry) -> BCarry:
+        live = c.status == C.RUNNING
+        lx = live[:, None]
+        K = jnp.minimum(chunk, dyn.max_iter - c.it)
+
+        x_new, y_new, z_new, xp, yp = admm_iterate(
+            c.L, sdata.A, sdata.q, sdata.l, sdata.u,
+            c.rho_vec, c.rho_inv, c.x, c.y, c.z,
+            dyn.sigma, dyn.alpha, K, interpret=interpret)
+
+        # freeze finished lanes
+        x_new = jnp.where(lx, x_new, c.x)
+        y_new = jnp.where(lx, y_new, c.y)
+        z_new = jnp.where(lx, z_new, c.z)
+        x_prev = jnp.where(lx, xp, c.x_prev)
+        y_prev = jnp.where(lx, yp, c.y_prev)
+
+        it = c.it + K
+        dx = x_new - x_prev
+        dy = y_new - y_prev
+
+        status_new, res = v_check(sdata, scal, x_new, y_new, z_new, dx, dy)
+        check_on = dyn.check_termination > 0
+        status = jnp.where(live & check_on, status_new, c.status)
+        iters = jnp.where(live & (status != C.RUNNING), it, c.iters)
+
+        do_rho = (dyn.adaptive_rho != 0) & (it % rho_int == 0)
+
+        def adapt(_):
+            pri_rel = res.pri_res / jnp.maximum(res.pri_norm, _DIV_GUARD)
+            dua_rel = res.dua_res / jnp.maximum(res.dua_norm, _DIV_GUARD)
+            ratio = pri_rel / jnp.maximum(dua_rel, _DIV_GUARD)
+            est = jnp.clip(c.rho_bar * jnp.sqrt(ratio), C.RHO_MIN, C.RHO_MAX)
+            est = jnp.where(jnp.isfinite(est), est, c.rho_bar)
+            trig = (live & (status == C.RUNNING)
+                    & ((est > c.rho_bar * dyn.adaptive_rho_tolerance)
+                       | (est < c.rho_bar / dyn.adaptive_rho_tolerance)))
+
+            def refactor(_):
+                rb = jnp.where(trig, est, c.rho_bar)
+                rv, ri = build_rho_vec(loose, eq, rb[:, None])
+                rv = jnp.where(trig[:, None], rv, c.rho_vec)
+                ri = jnp.where(trig[:, None], ri, c.rho_inv)
+                Lnew = _batched_factor(sdata.P, sdata.A, dyn.sigma, rv,
+                                       "inverse")
+                Lnew = jnp.where(trig[:, None, None], Lnew, c.L)
+                return rb, rv, ri, Lnew, c.rho_updates + trig.astype(jnp.int32)
+
+            def keep(_):
+                return (c.rho_bar, c.rho_vec, c.rho_inv, c.L, c.rho_updates)
+
+            rb, rv, ri, Ln, ru = lax.cond(jnp.any(trig), refactor, keep, None)
+            return rb, rv, ri, Ln, ru, est
+
+        def no_adapt(_):
+            return (c.rho_bar, c.rho_vec, c.rho_inv, c.L, c.rho_updates,
+                    c.rho_estimate)
+
+        rho_bar2, rho_vec2, rho_inv2, L2, rho_upd2, rho_est2 = lax.cond(
+            do_rho, adapt, no_adapt, None)
+
+        return BCarry(
+            x=x_new, y=y_new, z=z_new, x_prev=x_prev, y_prev=y_prev, L=L2,
+            rho_vec=rho_vec2, rho_inv=rho_inv2, rho_bar=rho_bar2, it=it,
+            status=status, iters=iters,
+            pri_res=jnp.where(live, res.pri_res, c.pri_res),
+            dua_res=jnp.where(live, res.dua_res, c.dua_res),
+            rho_estimate=jnp.where(do_rho & live, rho_est2, c.rho_estimate),
+            rho_updates=rho_upd2,
+        )
+
+    final = lax.while_loop(cond_fun, body_fun, carry0)
+    return _finalize(sdata, scal, dyn, final, v_check_approx)
+
+
 def solve_batch(data: QPData, dyn: DynParams, scaling_iters, x0, y0,
                 kkt_mode: str = "inverse") -> SolveOutput:
-    """Scale (vmapped Ruiz) + batched solve. All data leaves have leading B."""
+    """Scale (vmapped Ruiz) + batched solve. All data leaves have leading B.
+
+    ``kkt_mode``: "inverse" (default) / "chol" use the XLA loop;
+    "fused" uses the Pallas multi-iteration kernel (TPU; interpreted
+    elsewhere)."""
     sdata, scal = jax.vmap(lambda d: scale_problem(d, scaling_iters))(data)
     xb = scal.Dinv * x0
     yb = scal.c[:, None] * scal.Einv * y0
     zb = _bmm(sdata.A, xb)
+    if kkt_mode == "fused":
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        return solve_batch_fused(sdata, scal, dyn, xb, yb, zb,
+                                 interpret=interpret)
     return solve_batch_scaled(sdata, scal, dyn, xb, yb, zb, kkt_mode)

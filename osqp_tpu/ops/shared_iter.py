@@ -1,0 +1,127 @@
+"""Fused multi-iteration ADMM kernel for shared-structure batches.
+
+The MPC/scenario workload (BASELINE.md: 1k-10k identical-structure QPs)
+shares one P and A across the batch — only q, l, u (and warm starts) vary.
+That collapses the per-problem GEMVs of ops/fused_iter.py into true GEMMs:
+a group of G problems iterates together, so every MXU op has G rows instead
+of 1, and A / R⁻¹ are loaded into VMEM once and reused across grid steps
+(Pallas skips the DMA when consecutive grid steps fetch the same block).
+
+Per-group VMEM at G=128, n=128, m=256 (f32): A 128 KB + R⁻¹ 64 KB +
+5×(G,m) + 3×(G,n) vectors ≈ 1 MB — far under the ~16 MB budget.
+
+rho_vec is shared across the batch (single factorization — the reason this
+path exists); the driver adapts a single rho from aggregate residuals.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(scalars_ref,  # SMEM prefetch: [sigma, alpha, K]
+            rinv_ref, a_ref, rho_ref, rho_inv_ref,
+            q_ref, l_ref, u_ref, x0_ref, y0_ref, z0_ref,
+            x_ref, y_ref, z_ref, xp_ref, yp_ref):
+    sigma = scalars_ref[0]
+    alpha = scalars_ref[1]
+    K = scalars_ref[2].astype(jnp.int32)
+
+    Rinv = rinv_ref[:]       # (n, n) shared
+    A = a_ref[:]             # (m, n) shared
+    rho = rho_ref[:]         # (1, m) shared
+    rho_inv = rho_inv_ref[:]
+    q = q_ref[:]             # (G, n)
+    lb = l_ref[:]            # (G, m)
+    ub = u_ref[:]
+    pt = q.dtype
+
+    def step(carry):
+        x, y, z = carry
+        w = rho * z - y                                   # (G, m)
+        rhs = sigma * x - q + jnp.dot(w, A, preferred_element_type=pt)
+        xt = jnp.dot(rhs, Rinv, preferred_element_type=pt)  # (G, n)
+        zt = lax.dot_general(xt, A, (((1,), (1,)), ((), ())),
+                             preferred_element_type=pt)     # (G, m)
+        x_new = alpha * xt + (1.0 - alpha) * x
+        v = alpha * zt + (1.0 - alpha) * z + rho_inv * y
+        z_new = jnp.clip(v, lb, ub)
+        y_new = rho * (v - z_new)
+        return x_new, y_new, z_new
+
+    xp, yp, zp = lax.while_loop(
+        lambda c: c[0] < K - 1,
+        lambda c: (c[0] + 1,) + step(c[1:]),
+        (jnp.int32(0), x0_ref[:], y0_ref[:], z0_ref[:]))[1:]
+    x, y, z = step((xp, yp, zp))
+
+    xp_ref[:] = xp
+    yp_ref[:] = yp
+    x_ref[:] = x
+    y_ref[:] = y
+    z_ref[:] = z
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("group", "interpret"))
+def admm_iterate_shared(Rinv, A, rho_vec, rho_inv, q, l, u, x, y, z,
+                        sigma, alpha, K, group: int = 128,
+                        interpret: bool = False):
+    """K ADMM iterations for a shared-structure batch.
+
+    Shapes: Rinv (n,n), A (m,n), rho (m,), q/x (B,n), l/u/y/z (B,m);
+    B must be a multiple of ``group``. Returns (x, y, z, x_prev, y_prev).
+    """
+    B, n = x.shape
+    m = y.shape[1]
+    dtype = x.dtype
+    G = min(group, B)
+    if B % G != 0:
+        raise ValueError(f"batch {B} must be a multiple of group {G}")
+
+    scalars = jnp.stack([jnp.asarray(sigma, dtype),
+                         jnp.asarray(alpha, dtype),
+                         jnp.asarray(K, dtype)])
+
+    shared2 = lambda r, c: pl.BlockSpec((r, c), lambda g, *_: (0, 0),
+                                        memory_space=pltpu.VMEM)
+    batched = lambda c: pl.BlockSpec((G, c), lambda g, *_: (g, 0),
+                                     memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B // G,),
+        in_specs=[
+            shared2(n, n),                # Rinv
+            shared2(m, n),                # A
+            shared2(1, m), shared2(1, m),  # rho, rho_inv
+            batched(n),                   # q
+            batched(m), batched(m),       # l, u
+            batched(n), batched(m), batched(m),  # x, y, z
+        ],
+        out_specs=[
+            batched(n), batched(m), batched(m),  # x, y, z
+            batched(n), batched(m),              # x_prev, y_prev
+        ],
+    )
+
+    out = pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, n), dtype),
+            jax.ShapeDtypeStruct((B, m), dtype),
+            jax.ShapeDtypeStruct((B, m), dtype),
+            jax.ShapeDtypeStruct((B, n), dtype),
+            jax.ShapeDtypeStruct((B, m), dtype),
+        ],
+        interpret=interpret,
+    )(scalars, Rinv, A, rho_vec[None, :], rho_inv[None, :],
+      q, l, u, x, y, z)
+    return tuple(out)

@@ -1,0 +1,414 @@
+"""Shared-structure batched solver — the MPC/scenario headline path.
+
+All problems share one P and A (only q, l, u and starts vary). Consequences
+exploited here (BASELINE.md "factorization cached across batch"):
+
+  * ONE Ruiz equilibration and ONE KKT factorization/inverse for the whole
+    batch (vs per-lane (B,n,n) factors);
+  * a single shared rho_vec, adapted from aggregate residuals, so a rho
+    update refactorizes one matrix;
+  * the fused Pallas kernel (ops/shared_iter.py) iterates groups of G
+    problems with full-row GEMMs — MXU utilization G/128 instead of 1/128;
+  * all residual/termination math is shared-A batched einsums.
+
+Constraint-type classification (loose/eq for rho boosting) aggregates across
+the batch: a row is loose/eq only if it is so in every lane.
+
+Scaling note: the cost normalization c is computed from the batch-max |q̄|
+column norms (a representative for the whole batch). Any consistent (D, E, c)
+yields correct unscaled residuals, so termination remains exact per lane.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import constants as C
+from .linalg import chol_factor, with_precision
+from .scaling import _limit_scaling
+from .types import DynParams, QPData, ScalingData, SolveOutput
+
+_DIV_GUARD = 1e-10
+
+
+# ---------------------------------------------------------------------------
+# Shared scaling (modified Ruiz on shared P, A; batch-max q for cost norm)
+# ---------------------------------------------------------------------------
+
+class SharedScaling(NamedTuple):
+    D: jnp.ndarray     # (n,)
+    E: jnp.ndarray     # (m,)
+    c: jnp.ndarray     # scalar
+    Dinv: jnp.ndarray
+    Einv: jnp.ndarray
+    cinv: jnp.ndarray
+
+
+def shared_ruiz(P, A, q_absmax, n_iters):
+    """Equilibrate shared (P, A); ``q_absmax`` is max over the batch of |q|."""
+    dtype = P.dtype
+    n = P.shape[0]
+    m = A.shape[0]
+    one = jnp.ones((), dtype)
+
+    def body(_, carry):
+        P, A, qm, D, E, c = carry
+        p_col = jnp.max(jnp.abs(P), axis=0)
+        a_col = jnp.max(jnp.abs(A), axis=0) if m else jnp.zeros((n,), dtype)
+        dd = 1.0 / jnp.sqrt(_limit_scaling(jnp.maximum(p_col, a_col)))
+        de = (1.0 / jnp.sqrt(_limit_scaling(jnp.max(jnp.abs(A), axis=1)))
+              if m else jnp.zeros((0,), dtype))
+        P = (dd[:, None] * P) * dd[None, :]
+        A = (de[:, None] * A) * dd[None, :]
+        qm = dd * qm
+        D = D * dd
+        E = E * de
+        gamma = 1.0 / _limit_scaling(
+            jnp.maximum(jnp.mean(jnp.max(jnp.abs(P), axis=0)),
+                        jnp.max(qm) if n else 0.0))
+        return P * gamma, A, qm * gamma, D, E, c * gamma
+
+    P, A, _, D, E, c = lax.fori_loop(
+        0, n_iters, body,
+        (P, A, q_absmax, jnp.ones((n,), dtype), jnp.ones((m,), dtype), one))
+    scal = SharedScaling(D=D, E=E, c=c, Dinv=1.0 / D, Einv=1.0 / E,
+                         cinv=1.0 / c)
+    return P, A, scal
+
+
+# ---------------------------------------------------------------------------
+# Shared-A batched residuals / termination / certificates
+# ---------------------------------------------------------------------------
+
+def _row_norm(M):  # (B, k) -> (B,) inf-norm per row
+    if M.shape[1] == 0:
+        return jnp.zeros((M.shape[0],), M.dtype)
+    return jnp.max(jnp.abs(M), axis=1)
+
+
+class BRes(NamedTuple):
+    pri_res: jnp.ndarray
+    dua_res: jnp.ndarray
+    pri_norm: jnp.ndarray
+    dua_norm: jnp.ndarray
+
+
+def shared_residuals(P, A, qb, scal, dyn, x, y, z) -> BRes:
+    st = dyn.scaled_termination.astype(bool)
+    Einv = jnp.where(st, jnp.ones_like(scal.Einv), scal.Einv)
+    Dinv = jnp.where(st, jnp.ones_like(scal.Dinv), scal.Dinv)
+    cinv = jnp.where(st, jnp.ones_like(scal.cinv), scal.cinv)
+
+    Ax = x @ A.T          # (B, m)
+    Px = x @ P            # P symmetric
+    Aty = y @ A           # (B, n)
+
+    pri_res = _row_norm(Einv * (Ax - z))
+    pri_norm = jnp.maximum(_row_norm(Einv * Ax), _row_norm(Einv * z))
+    dua_res = cinv * _row_norm(Dinv * (Px + qb + Aty))
+    dua_norm = cinv * jnp.maximum(
+        jnp.maximum(_row_norm(Dinv * Px), _row_norm(Dinv * Aty)),
+        _row_norm(Dinv * qb))
+    return BRes(pri_res, dua_res, pri_norm, dua_norm)
+
+
+def shared_primal_inf(A, lb, ub, scal, dy_bar, eps):
+    dtype = dy_bar.dtype
+    dy = scal.cinv * scal.E * dy_bar
+    nrm = _row_norm(dy)
+    s = 1.0 / jnp.maximum(nrm, _DIV_GUARD)[:, None]
+    dyn_ = dy * s
+    At_dy = scal.Dinv * ((scal.Einv * dyn_) @ A)
+    cond_mat = _row_norm(At_dy) <= eps
+    u = scal.Einv * ub
+    l = scal.Einv * lb
+    u_inf = u >= C.INFTY_THRESH
+    l_inf = l <= -C.INFTY_THRESH
+    dyp = jnp.maximum(dyn_, 0.0)
+    dym = jnp.minimum(dyn_, 0.0)
+    bound_ok = jnp.all(
+        jnp.where(u_inf, dyp <= eps, True)
+        & jnp.where(l_inf, -dym <= eps, True), axis=1)
+    lhs = jnp.sum(jnp.where(u_inf, 0.0, u * dyp)
+                  + jnp.where(l_inf, 0.0, l * dym), axis=1)
+    detected = (nrm > eps) & cond_mat & bound_ok & (lhs < -eps)
+    return detected, dyn_
+
+
+def shared_dual_inf(P, A, qb, lb, ub, scal, dx_bar, eps):
+    dx = scal.D * dx_bar
+    nrm = _row_norm(dx)
+    s = 1.0 / jnp.maximum(nrm, _DIV_GUARD)[:, None]
+    dxn = dx * s
+    dxn_bar = dx_bar * s
+    P_dx = scal.cinv * scal.Dinv * (dxn_bar @ P)
+    cond_P = _row_norm(P_dx) <= eps
+    q_u = scal.cinv * scal.Dinv * qb
+    cond_q = jnp.sum(q_u * dxn, axis=1) < -eps
+    A_dx = scal.Einv * (dxn_bar @ A.T)
+    u = scal.Einv * ub
+    l = scal.Einv * lb
+    u_inf = u >= C.INFTY_THRESH
+    l_inf = l <= -C.INFTY_THRESH
+    cond_A = jnp.all(jnp.where(u_inf, True, A_dx <= eps)
+                     & jnp.where(l_inf, True, A_dx >= -eps), axis=1)
+    detected = (nrm > eps) & cond_P & cond_q & cond_A
+    return detected, dxn
+
+
+def shared_check(P, A, qb, lb, ub, scal, dyn, x, y, z, dx, dy,
+                 eps_factor, accurate: bool):
+    res = shared_residuals(P, A, qb, scal, dyn, x, y, z)
+    eps_abs = dyn.eps_abs * eps_factor
+    eps_rel = dyn.eps_rel * eps_factor
+    solved = ((res.pri_res <= eps_abs + eps_rel * res.pri_norm)
+              & (res.dua_res <= eps_abs + eps_rel * res.dua_norm))
+    prim, _ = shared_primal_inf(A, lb, ub, scal, dy,
+                                dyn.eps_prim_inf * eps_factor)
+    dual, _ = shared_dual_inf(P, A, qb, lb, ub, scal, dx,
+                              dyn.eps_dual_inf * eps_factor)
+    bad = (jnp.isnan(res.pri_res) | jnp.isnan(res.dua_res)
+           | (res.pri_res > C.OSQP_INFTY) | (res.dua_res > C.OSQP_INFTY))
+    s_solved = C.SOLVED if accurate else C.SOLVED_INACCURATE
+    s_pinf = C.PRIMAL_INFEASIBLE if accurate else C.PRIMAL_INFEASIBLE_INACCURATE
+    s_dinf = C.DUAL_INFEASIBLE if accurate else C.DUAL_INFEASIBLE_INACCURATE
+    status = jnp.where(
+        bad, C.NON_CONVEX,
+        jnp.where(solved, s_solved,
+                  jnp.where(prim, s_pinf,
+                            jnp.where(dual, s_dinf, C.RUNNING))))
+    return status.astype(jnp.int32), res
+
+
+# ---------------------------------------------------------------------------
+# Driver
+# ---------------------------------------------------------------------------
+
+class SCarry(NamedTuple):
+    x: jnp.ndarray
+    y: jnp.ndarray
+    z: jnp.ndarray
+    x_prev: jnp.ndarray
+    y_prev: jnp.ndarray
+    Rinv: jnp.ndarray       # (n, n) shared
+    rho_vec: jnp.ndarray    # (m,) shared
+    rho_inv: jnp.ndarray
+    rho_bar: jnp.ndarray    # scalar
+    it: jnp.ndarray
+    status: jnp.ndarray     # (B,)
+    iters: jnp.ndarray
+    pri_res: jnp.ndarray
+    dua_res: jnp.ndarray
+    rho_estimate: jnp.ndarray  # scalar
+    rho_updates: jnp.ndarray   # scalar int32
+
+
+def _shared_rho_vec(loose, eq, rho_bar):
+    rho_bar = jnp.clip(rho_bar, C.RHO_MIN, C.RHO_MAX)
+    rho_eq = jnp.clip(C.RHO_EQ_OVER_RHO_INEQ * rho_bar, C.RHO_MIN, C.RHO_MAX)
+    rv = jnp.where(loose, C.RHO_MIN, jnp.where(eq, rho_eq, rho_bar))
+    return rv, 1.0 / rv
+
+
+def _shared_inverse(P, A, sigma, rho_vec):
+    n = P.shape[0]
+    R = P + sigma * jnp.eye(n, dtype=P.dtype)
+    if A.shape[0] > 0:
+        R = R + (A.T * rho_vec[None, :]) @ A
+    R = 0.5 * (R + R.T)
+    L = chol_factor(R)
+    eye = jnp.eye(n, dtype=P.dtype)
+    w = lax.linalg.triangular_solve(L, eye, left_side=True, lower=True)
+    return lax.linalg.triangular_solve(L, w, left_side=True, lower=True,
+                                       transpose_a=True)
+
+
+@with_precision
+def solve_batch_shared(P, A, qb, lb, ub, scal: SharedScaling, dyn: DynParams,
+                       x0, y0, z0, group: int = 128,
+                       interpret: bool = False) -> SolveOutput:
+    """Batched solve with shared (scaled) P, A. Per-lane qb/lb/ub are scaled;
+    x0/y0/z0 are scaled starts."""
+    from .ops.shared_iter import admm_iterate_shared
+
+    dtype = P.dtype
+    B, n = x0.shape
+    m = y0.shape[1]
+
+    # aggregated constraint classification
+    loose_b = (lb <= -C.INFTY_THRESH) & (ub >= C.INFTY_THRESH)
+    eq_b = (~loose_b) & (ub - lb < C.RHO_TOL)
+    loose = jnp.all(loose_b, axis=0)
+    eq = jnp.all(eq_b, axis=0) & ~loose
+
+    rho0 = jnp.clip(jnp.asarray(dyn.rho_bar, dtype), C.RHO_MIN, C.RHO_MAX)
+    rho_vec, rho_inv = _shared_rho_vec(loose, eq, rho0)
+    Rinv0 = _shared_inverse(P, A, dyn.sigma, rho_vec)
+
+    chunk = jnp.maximum(dyn.check_termination, 1)
+    rho_int = jnp.maximum(
+        jnp.round(jnp.maximum(dyn.adaptive_rho_interval, 1) / chunk), 1
+    ).astype(jnp.int32) * chunk
+
+    inf0 = jnp.full((B,), jnp.inf, dtype)
+    carry0 = SCarry(
+        x=x0, y=y0, z=z0, x_prev=x0, y_prev=y0, Rinv=Rinv0,
+        rho_vec=rho_vec, rho_inv=rho_inv, rho_bar=rho0,
+        it=jnp.int32(0),
+        status=jnp.full((B,), C.RUNNING, jnp.int32),
+        iters=jnp.zeros((B,), jnp.int32),
+        pri_res=inf0, dua_res=inf0,
+        rho_estimate=rho0, rho_updates=jnp.int32(0),
+    )
+
+    def cond_fun(c: SCarry):
+        return jnp.any(c.status == C.RUNNING) & (c.it < dyn.max_iter)
+
+    def body_fun(c: SCarry) -> SCarry:
+        live = c.status == C.RUNNING
+        lx = live[:, None]
+        K = jnp.minimum(chunk, dyn.max_iter - c.it)
+
+        x_new, y_new, z_new, xp, yp = admm_iterate_shared(
+            c.Rinv, A, c.rho_vec, c.rho_inv, qb, lb, ub, c.x, c.y, c.z,
+            dyn.sigma, dyn.alpha, K, group=group, interpret=interpret)
+
+        x_new = jnp.where(lx, x_new, c.x)
+        y_new = jnp.where(lx, y_new, c.y)
+        z_new = jnp.where(lx, z_new, c.z)
+        x_prev = jnp.where(lx, xp, c.x_prev)
+        y_prev = jnp.where(lx, yp, c.y_prev)
+
+        it = c.it + K
+        dx = x_new - x_prev
+        dy = y_new - y_prev
+
+        status_new, res = shared_check(
+            P, A, qb, lb, ub, scal, dyn, x_new, y_new, z_new, dx, dy,
+            jnp.asarray(1.0, dtype), accurate=True)
+        check_on = dyn.check_termination > 0
+        status = jnp.where(live & check_on, status_new, c.status)
+        iters = jnp.where(live & (status != C.RUNNING), it, c.iters)
+
+        do_rho = (dyn.adaptive_rho != 0) & (it % rho_int == 0)
+
+        def adapt(_):
+            still = status == C.RUNNING
+            pri_rel = res.pri_res / jnp.maximum(res.pri_norm, _DIV_GUARD)
+            dua_rel = jnp.maximum(
+                res.dua_res / jnp.maximum(res.dua_norm, _DIV_GUARD),
+                _DIV_GUARD)
+            est_lane = jnp.clip(c.rho_bar * jnp.sqrt(pri_rel / dua_rel),
+                                C.RHO_MIN, C.RHO_MAX)
+            est_lane = jnp.where(jnp.isfinite(est_lane), est_lane, c.rho_bar)
+            # aggregate: geometric mean over still-running lanes
+            w = still.astype(dtype)
+            cnt = jnp.maximum(jnp.sum(w), 1.0)
+            est = jnp.exp(jnp.sum(w * jnp.log(est_lane)) / cnt)
+            est = jnp.clip(est, C.RHO_MIN, C.RHO_MAX)
+            trig = (jnp.any(still)
+                    & ((est > c.rho_bar * dyn.adaptive_rho_tolerance)
+                       | (est < c.rho_bar / dyn.adaptive_rho_tolerance)))
+
+            def refactor(_):
+                rv, ri = _shared_rho_vec(loose, eq, est)
+                return (est, rv, ri,
+                        _shared_inverse(P, A, dyn.sigma, rv),
+                        c.rho_updates + 1)
+
+            def keep(_):
+                return (c.rho_bar, c.rho_vec, c.rho_inv, c.Rinv,
+                        c.rho_updates)
+
+            rb, rv, ri, Ri, ru = lax.cond(trig, refactor, keep, None)
+            return rb, rv, ri, Ri, ru, est
+
+        def no_adapt(_):
+            return (c.rho_bar, c.rho_vec, c.rho_inv, c.Rinv, c.rho_updates,
+                    c.rho_estimate)
+
+        rho_bar2, rho_vec2, rho_inv2, Rinv2, rho_upd2, rho_est2 = lax.cond(
+            do_rho, adapt, no_adapt, None)
+
+        return SCarry(
+            x=x_new, y=y_new, z=z_new, x_prev=x_prev, y_prev=y_prev,
+            Rinv=Rinv2, rho_vec=rho_vec2, rho_inv=rho_inv2, rho_bar=rho_bar2,
+            it=it, status=status, iters=iters,
+            pri_res=jnp.where(live, res.pri_res, c.pri_res),
+            dua_res=jnp.where(live, res.dua_res, c.dua_res),
+            rho_estimate=jnp.where(do_rho, rho_est2, c.rho_estimate),
+            rho_updates=rho_upd2,
+        )
+
+    final = lax.while_loop(cond_fun, body_fun, carry0)
+
+    # ---- finalize ----
+    hit_max = final.status == C.RUNNING
+    dx = final.x - final.x_prev
+    dy = final.y - final.y_prev
+    approx_status, approx_res = shared_check(
+        P, A, qb, lb, ub, scal, dyn, final.x, final.y, final.z, dx, dy,
+        jnp.asarray(C.INACCURATE_EPS_FACTOR, dtype), accurate=False)
+    allow = (dyn.check_termination > 0) & (dyn.final_approx != 0)
+    status = jnp.where(
+        hit_max,
+        jnp.where(allow & (approx_status != C.RUNNING),
+                  approx_status, C.MAX_ITER_REACHED),
+        final.status).astype(jnp.int32)
+    iters = jnp.where(hit_max, final.it, final.iters)
+    pri_res = jnp.where(hit_max, approx_res.pri_res, final.pri_res)
+    dua_res = jnp.where(hit_max, approx_res.dua_res, final.dua_res)
+
+    x = scal.D * final.x
+    y = scal.cinv * scal.E * final.y
+    z = scal.Einv * final.z
+
+    _, prim_cert = shared_primal_inf(A, lb, ub, scal, dy, dyn.eps_prim_inf)
+    _, dual_cert = shared_dual_inf(P, A, qb, lb, ub, scal, dx,
+                                   dyn.eps_dual_inf)
+
+    obj = scal.cinv * (0.5 * jnp.sum(final.x * (final.x @ P), axis=1)
+                       + jnp.sum(qb * final.x, axis=1))
+    nan = jnp.asarray(jnp.nan, dtype)
+    obj = jnp.where(status == C.NON_CONVEX, nan, obj)
+    obj = jnp.where((status == C.PRIMAL_INFEASIBLE)
+                    | (status == C.PRIMAL_INFEASIBLE_INACCURATE),
+                    jnp.asarray(jnp.inf, dtype), obj)
+    obj = jnp.where((status == C.DUAL_INFEASIBLE)
+                    | (status == C.DUAL_INFEASIBLE_INACCURATE),
+                    jnp.asarray(-jnp.inf, dtype), obj)
+
+    B_ = final.x.shape[0]
+    return SolveOutput(
+        x=x, y=y, z=z, status=status, iter=iters,
+        pri_res=pri_res, dua_res=dua_res, obj_val=obj,
+        prim_cert=prim_cert, dual_cert=dual_cert,
+        rho_updates=jnp.broadcast_to(final.rho_updates, (B_,)),
+        rho_estimate=jnp.broadcast_to(final.rho_estimate, (B_,)),
+        xbar=final.x, ybar=final.y, zbar=final.z,
+    )
+
+
+def solve_shared(P, A, q, l, u, dyn: DynParams, scaling_iters,
+                 x0, y0, group: int = 128,
+                 interpret: bool = False) -> SolveOutput:
+    """One-shot shared-structure solve: scale shared data once, solve batch.
+
+    P (n,n), A (m,n) shared; q (B,n), l/u (B,m) per-lane; x0/y0 unscaled."""
+    dtype = P.dtype
+    l = jnp.clip(l, -C.OSQP_INFTY, C.OSQP_INFTY)
+    u = jnp.clip(u, -C.OSQP_INFTY, C.OSQP_INFTY)
+    q_absmax = jnp.max(jnp.abs(q), axis=0)
+    Pb, Ab, scal = shared_ruiz(P, A, q_absmax, scaling_iters)
+    qb = scal.c * scal.D * q
+    lb = scal.E * l
+    ub = scal.E * u
+    xb = scal.Dinv * x0
+    yb = scal.c * scal.Einv * y0
+    zb = xb @ Ab.T
+    return solve_batch_shared(Pb, Ab, qb, lb, ub, scal, dyn, xb, yb, zb,
+                              group=group, interpret=interpret)
