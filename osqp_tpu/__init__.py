@@ -15,7 +15,7 @@ Layers (top to bottom, mirroring SURVEY.md §1):
   * ``osqp_tpu.parallel``  — device-mesh sharding + consensus ADMM
 """
 
-from . import constants
+from . import constants, problems
 from .constants import (
     OSQP_INFTY,
     SOLUTION_PRESENT,
@@ -28,10 +28,33 @@ from .interface import Model, version
 from .settings import Settings
 from .types import Info, QPData, Results, ScalingData, SolveOutput
 
+
+def __getattr__(name):
+    # lazy accessors keep `import osqp_tpu` light (no pallas/ctypes imports)
+    if name == "BatchedSolver":
+        from .batch import BatchedSolver
+        return BatchedSolver
+    if name == "SparseModel":
+        from .sparse_core import SparseModel
+        return SparseModel
+    if name == "NativeModel":
+        from .native import NativeModel
+        return NativeModel
+    if name == "Problem":
+        from .modeling import Problem
+        return Problem
+    raise AttributeError(f"module 'osqp_tpu' has no attribute '{name}'")
+
+
 __version__ = "0.1.0"
 
 __all__ = [
     "Model",
+    "BatchedSolver",
+    "SparseModel",
+    "NativeModel",
+    "Problem",
+    "problems",
     "Settings",
     "Info",
     "Results",

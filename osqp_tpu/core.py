@@ -219,9 +219,15 @@ class FactorState(NamedTuple):
 def _kkt_precompute(sdata: QPData, sigma, rho_vec, indirect: bool):
     if indirect:
         # Jacobi preconditioner: diag(P + sigma I + A' rho A)
-        d = jnp.diagonal(sdata.P) + sigma
-        if sdata.A.shape[0] > 0:
-            d = d + jnp.sum(rho_vec[:, None] * sdata.A**2, axis=0)
+        if getattr(sdata.P, "diag", None) is not None:
+            # sparse path (SparseOp): diagonal + squared-transpose matvec
+            d = sdata.P.diag + sigma
+            if sdata.A.shape[0] > 0:
+                d = d + sdata.A.sqT @ rho_vec
+        else:
+            d = jnp.diagonal(sdata.P) + sigma
+            if sdata.A.shape[0] > 0:
+                d = d + jnp.sum(rho_vec[:, None] * sdata.A**2, axis=0)
         return 1.0 / d
     return chol_factor(reduced_kkt(sdata.P, sdata.A, sigma, rho_vec))
 

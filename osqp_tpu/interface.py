@@ -292,27 +292,34 @@ class Model:
         fs = self._fs
         out = None
         remaining = s.max_iter
-        while True:
-            this_chunk = min(chunk, remaining)
-            is_final = this_chunk == remaining
-            dyn_c = dyn._replace(
-                max_iter=jnp.int32(this_chunk),
-                final_approx=jnp.int32(1 if is_final else 0))
-            out, fs = _solve_jit(self._sdata, self._scal, dyn_c, x0, y0, z0,
-                                 fs, linsys=self._linsys)
-            jax.block_until_ready(out.x)
-            total += int(out.iter)
-            remaining -= int(out.iter)
-            status_val = int(out.status)
-            timed_out = (time.perf_counter() - start) > s.time_limit
-            if status_val not in (C.MAX_ITER_REACHED, C.RUNNING):
-                break
-            if remaining <= 0:
-                break
-            if timed_out:
-                status_val = C.TIME_LIMIT_REACHED
-                break
-            x0, y0, z0 = out.xbar, out.ybar, out.zbar
+        try:
+            while True:
+                this_chunk = min(chunk, remaining)
+                is_final = this_chunk == remaining
+                dyn_c = dyn._replace(
+                    max_iter=jnp.int32(this_chunk),
+                    final_approx=jnp.int32(1 if is_final else 0))
+                out, fs = _solve_jit(self._sdata, self._scal, dyn_c, x0, y0,
+                                     z0, fs, linsys=self._linsys)
+                jax.block_until_ready(out.x)
+                total += int(out.iter)
+                remaining -= int(out.iter)
+                status_val = int(out.status)
+                timed_out = (time.perf_counter() - start) > s.time_limit
+                if status_val not in (C.MAX_ITER_REACHED, C.RUNNING):
+                    break
+                if remaining <= 0:
+                    break
+                if timed_out:
+                    status_val = C.TIME_LIMIT_REACHED
+                    break
+                x0, y0, z0 = out.xbar, out.ybar, out.zbar
+        except KeyboardInterrupt:
+            # SIGINT between chunks: the reference's :Interrupted status
+            # (constants.jl:17). With no chunk finished yet, report Unsolved.
+            if out is None:
+                raise
+            status_val = C.INTERRUPTED
         out = out._replace(iter=jnp.int32(total))
         return out, fs, status_val
 
@@ -434,6 +441,48 @@ class Model:
         else:
             self._ybar = jnp.zeros((self.m,), dtype)
         self._zbar = self._sdata.A @ self._xbar
+
+    # ------------------------------------------------------- checkpoint/resume
+    def get_state(self) -> dict:
+        """Snapshot the solver state (SURVEY.md §5 checkpoint/resume: the
+        whole workspace is a pytree, so serialization is trivial — unlike the
+        reference, whose only resume mechanism is warm starting)."""
+        self._check_setup()
+        return {
+            "xbar": np.asarray(self._xbar),
+            "ybar": np.asarray(self._ybar),
+            "zbar": np.asarray(self._zbar),
+            "rho_bar": float(self._fs.rho_bar),
+            "settings": self.settings.asdict(),
+        }
+
+    def set_state(self, state: dict) -> None:
+        """Restore a snapshot taken by :meth:`get_state` (problem data must
+        already be set up identically)."""
+        self._check_setup()
+        dtype = self._dtype
+        self._xbar = jnp.asarray(state["xbar"], dtype)
+        self._ybar = jnp.asarray(state["ybar"], dtype)
+        self._zbar = jnp.asarray(state["zbar"], dtype)
+        rho = float(state["rho_bar"])
+        if abs(rho - float(self._fs.rho_bar)) > 0:
+            sigma = jnp.asarray(self.settings.sigma, dtype)
+            self._fs = _factor_jit(self._sdata, sigma,
+                                   jnp.asarray(rho, dtype),
+                                   indirect=self._linsys == "indirect")
+
+    def save_state(self, path: str) -> None:
+        self._check_setup()
+        st = self.get_state()
+        np.savez(path, xbar=st["xbar"], ybar=st["ybar"], zbar=st["zbar"],
+                 rho_bar=st["rho_bar"])
+
+    def load_state(self, path: str) -> None:
+        self._check_setup()
+        data = np.load(path)
+        self.set_state({"xbar": data["xbar"], "ybar": data["ybar"],
+                        "zbar": data["zbar"],
+                        "rho_bar": float(data["rho_bar"])})
 
     # ------------------------------------------------------------------ misc
     def dimensions(self):

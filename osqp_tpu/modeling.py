@@ -212,6 +212,16 @@ class Problem:
         else:
             self._needs_setup = True
 
+    def delete_constraint(self, con: Constraint):
+        """Deletion via tombstoning: the row becomes an empty loose row
+        (handles stay valid; MOI-style deletion semantics at this layer)."""
+        r = con.index
+        self._rows[r] = {}
+        self._row_const[r] = 0.0
+        self._row_lb[r] = -_INF
+        self._row_ub[r] = _INF
+        self._needs_setup = True
+
     def set_constraint_function(self, con: Constraint, coeffs,
                                 constant: float = 0.0):
         """Function replacement (MOI_wrapper.jl:768-844): allowed in place iff

@@ -1,0 +1,180 @@
+"""Benchmark / validation problem generators.
+
+The reference's benchmark story lives outside its repo (the OSQP paper's
+Maros-Meszaros and parametric families — SURVEY.md §6). This module provides
+in-repo generators for the same problem classes the OSQP paper benchmarks
+(random QP, equality-constrained QP, optimal control/MPC, portfolio, lasso,
+Huber fitting, SVM), each returning canonical dense ``(P, q, A, l, u)`` with
+a documented structure. Used by the validation tests (chip vs CPU-reference
+differential) and by ``bench.py``-style workloads.
+
+All generators are deterministic given ``seed``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def random_qp(n=50, m=100, density=0.5, seed=0):
+    """General random strongly-convex QP with two-sided bounds."""
+    rng = np.random.RandomState(seed)
+    M = rng.randn(n, n) * (rng.rand(n, n) < density)
+    P = M.T @ M / n + 0.1 * np.eye(n)
+    q = rng.randn(n)
+    A = rng.randn(m, n) * (rng.rand(m, n) < density) / np.sqrt(n)
+    c = rng.randn(m) * 0.1
+    w = 1.0 + rng.rand(m)
+    return P, q, A, c - w, c + w
+
+
+def eq_qp(n=40, p=20, seed=0):
+    """Equality-constrained QP (l == u): min 0.5 x'Px + q'x s.t. Gx = b."""
+    rng = np.random.RandomState(seed)
+    M = rng.randn(n, n)
+    P = M.T @ M / n + 0.5 * np.eye(n)
+    q = rng.randn(n)
+    G = rng.randn(p, n)
+    b = rng.randn(p)
+    return P, q, G, b, b
+
+
+def control_qp(nx=8, nu=4, T=10, seed=0):
+    """Linear MPC condensed-free formulation: states+inputs stacked, dynamics
+    as equalities, box limits on inputs/states (OSQP paper §8 'control')."""
+    rng = np.random.RandomState(seed)
+    Ad = np.eye(nx) + 0.1 * rng.randn(nx, nx) / np.sqrt(nx)
+    Bd = rng.randn(nx, nu) / np.sqrt(nu)
+    Qx = np.eye(nx)
+    Ru = 0.1 * np.eye(nu)
+    x0 = rng.randn(nx)
+
+    n = T * (nx + nu)
+
+    def xi(t):  # state block t = 1..T
+        return slice((t - 1) * (nx + nu), (t - 1) * (nx + nu) + nx)
+
+    def ui(t):  # input block t = 0..T-1
+        return slice((t) * (nx + nu) - nu if t > 0 else nx + 0, 0)
+
+    # simpler layout: z = [u_0, x_1, u_1, x_2, ..., u_{T-1}, x_T]
+    idx_u = [t * (nu + nx) for t in range(T)]
+    idx_x = [t * (nu + nx) + nu for t in range(T)]
+
+    P = np.zeros((n, n))
+    q = np.zeros(n)
+    for t in range(T):
+        P[idx_u[t]:idx_u[t] + nu, idx_u[t]:idx_u[t] + nu] = Ru
+        P[idx_x[t]:idx_x[t] + nx, idx_x[t]:idx_x[t] + nx] = Qx
+
+    # dynamics: x_{t+1} = Ad x_t + Bd u_t  (x_0 given)
+    m_eq = T * nx
+    A_eq = np.zeros((m_eq, n))
+    b_eq = np.zeros(m_eq)
+    for t in range(T):
+        r = slice(t * nx, (t + 1) * nx)
+        A_eq[r, idx_x[t]:idx_x[t] + nx] = -np.eye(nx)
+        A_eq[r, idx_u[t]:idx_u[t] + nu] = Bd
+        if t == 0:
+            b_eq[r] = -Ad @ x0
+        else:
+            A_eq[r, idx_x[t - 1]:idx_x[t - 1] + nx] = Ad
+
+    # box limits
+    A_box = np.eye(n)
+    lim_u = 1.0
+    lim_x = 10.0
+    lb = np.full(n, -lim_x)
+    ub = np.full(n, lim_x)
+    for t in range(T):
+        lb[idx_u[t]:idx_u[t] + nu] = -lim_u
+        ub[idx_u[t]:idx_u[t] + nu] = lim_u
+
+    A = np.vstack([A_eq, A_box])
+    l = np.concatenate([b_eq, lb])
+    u = np.concatenate([b_eq, ub])
+    return P, q, A, l, u
+
+
+def portfolio_qp(n_assets=60, k_factors=10, gamma=1.0, seed=0):
+    """Markowitz portfolio: min x'(FF' + D)x - mu'x/gamma, 1'x = 1, x >= 0."""
+    rng = np.random.RandomState(seed)
+    F = rng.randn(n_assets, k_factors) / np.sqrt(k_factors)
+    D = np.diag(rng.rand(n_assets) * np.sqrt(k_factors))
+    P = 2.0 * (F @ F.T + D)
+    mu = rng.randn(n_assets)
+    q = -mu / gamma
+    A = np.vstack([np.ones((1, n_assets)), np.eye(n_assets)])
+    l = np.concatenate([[1.0], np.zeros(n_assets)])
+    u = np.concatenate([[1.0], np.full(n_assets, np.inf)])
+    return P, q, A, l, u
+
+
+def lasso_qp(n_features=30, m_samples=60, lam=1.0, seed=0):
+    """Lasso as QP over z = [x, t]: min ||Ax-b||^2 + lam 1't, -t<=x<=t."""
+    rng = np.random.RandomState(seed)
+    Ad = rng.randn(m_samples, n_features)
+    x_true = rng.randn(n_features) * (rng.rand(n_features) < 0.3)
+    b = Ad @ x_true + 0.1 * rng.randn(m_samples)
+    n = 2 * n_features
+    P = np.zeros((n, n))
+    P[:n_features, :n_features] = 2.0 * Ad.T @ Ad
+    q = np.concatenate([-2.0 * Ad.T @ b, lam * np.ones(n_features)])
+    # -t <= x  and  x <= t   <=>   0 <= t - x <= inf, 0 <= t + x <= inf
+    I = np.eye(n_features)
+    A = np.block([[-I, I], [I, I]])
+    l = np.zeros(2 * n_features)
+    u = np.full(2 * n_features, np.inf)
+    return P, q, A, l, u
+
+
+def huber_qp(n_features=20, m_samples=40, seed=0):
+    """Huber fitting as QP over z = [x, u, r, s]: standard splitting."""
+    rng = np.random.RandomState(seed)
+    Ad = rng.randn(m_samples, n_features)
+    x_true = rng.randn(n_features)
+    b = Ad @ x_true + 0.1 * rng.randn(m_samples)
+    b[rng.rand(m_samples) < 0.1] += 10.0  # outliers
+    # min u'u + 2 M 1'(r+s) s.t. Ax - b - u = r - s, r,s >= 0  (M=1)
+    nf, ms = n_features, m_samples
+    n = nf + 3 * ms
+    P = np.zeros((n, n))
+    P[nf:nf + ms, nf:nf + ms] = 2.0 * np.eye(ms)
+    q = np.concatenate([np.zeros(nf + ms), 2.0 * np.ones(2 * ms)])
+    A1 = np.hstack([Ad, -np.eye(ms), -np.eye(ms), np.eye(ms)])
+    A2 = np.hstack([np.zeros((2 * ms, nf + ms)), np.eye(2 * ms)])
+    A = np.vstack([A1, A2])
+    l = np.concatenate([b, np.zeros(2 * ms)])
+    u = np.concatenate([b, np.full(2 * ms, np.inf)])
+    return P, q, A, l, u
+
+
+def svm_qp(n_features=20, m_samples=50, lam=1.0, seed=0):
+    """Support vector machine (hinge loss) as QP over z = [w, t]."""
+    rng = np.random.RandomState(seed)
+    half = m_samples // 2
+    labels = np.concatenate([np.ones(half), -np.ones(m_samples - half)])
+    X = rng.randn(m_samples, n_features) + labels[:, None]
+    n = n_features + m_samples
+    P = np.zeros((n, n))
+    P[:n_features, :n_features] = 2.0 * lam * np.eye(n_features)
+    q = np.concatenate([np.zeros(n_features), np.ones(m_samples)])
+    # t >= 0, t >= 1 - y_i x_i'w  <=>  diag(y)Xw + t >= 1
+    A1 = np.hstack([labels[:, None] * X, np.eye(m_samples)])
+    A2 = np.hstack([np.zeros((m_samples, n_features)), np.eye(m_samples)])
+    A = np.vstack([A1, A2])
+    l = np.concatenate([np.ones(m_samples), np.zeros(m_samples)])
+    u = np.full(2 * m_samples, np.inf)
+    return P, q, A, l, u
+
+
+#: The validation suite: name -> zero-arg constructor
+FAMILIES = {
+    "random_qp": random_qp,
+    "eq_qp": eq_qp,
+    "control_qp": control_qp,
+    "portfolio_qp": portfolio_qp,
+    "lasso_qp": lasso_qp,
+    "huber_qp": huber_qp,
+    "svm_qp": svm_qp,
+}

@@ -1,0 +1,186 @@
+"""Large sparse QP path: BCOO operators + matrix-free CG through the same
+jitted ADMM loop.
+
+The reference handles large problems only through sparse direct factorization
+on one CPU (QDLDL on CSC). Here the same solver-loop semantics
+(:func:`osqp_tpu.core.solve_scaled` with ``linsys="indirect"``) run on BCOO
+matvecs — no factorization, O(nnz) per CG step — scaling to n ~ 1e5+ on one
+chip, with A row-shardable across a mesh for multi-chip (SURVEY.md §2.3
+"sequence-parallel analogue").
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from . import constants as C
+from .core import dyn_from_settings, init_factor, solve_scaled
+from .scaling import _limit_scaling
+from .settings import Settings
+from .sparse_ops import (SparseOp, col_max_abs, row_max_abs, scale_sparse_op,
+                         sparse_op_from_coo)
+from .types import Info, QPData, Results, ScalingData
+
+try:
+    import scipy.sparse as _sp
+except Exception:  # pragma: no cover
+    _sp = None
+
+
+def sparse_ruiz(P: SparseOp, q, A: SparseOp, l, u, n_iters):
+    """Modified Ruiz equilibration on sparse operators (same algorithm as
+    scaling.ruiz_equilibrate, norms via segment reductions)."""
+    dtype = q.dtype
+    n = P.shape[0]
+    m = A.shape[0]
+    one = jnp.ones((), dtype)
+
+    def body(_, carry):
+        P, q, A, l, u, D, E, c = carry
+        p_col = col_max_abs(P, n)
+        a_col = col_max_abs(A, n) if m else jnp.zeros((n,), dtype)
+        dd = 1.0 / jnp.sqrt(_limit_scaling(jnp.maximum(p_col, a_col)))
+        de = (1.0 / jnp.sqrt(_limit_scaling(row_max_abs(A, m)))
+              if m else jnp.zeros((0,), dtype))
+        P = scale_sparse_op(P, dd, dd)
+        A = scale_sparse_op(A, de, dd)
+        q = dd * q
+        l = de * l
+        u = de * u
+        D = D * dd
+        E = E * de
+        gamma = 1.0 / _limit_scaling(
+            jnp.maximum(jnp.mean(col_max_abs(P, n)), jnp.max(jnp.abs(q))))
+        P = scale_sparse_op(P, jnp.ones((n,), dtype), jnp.ones((n,), dtype),
+                            extra=gamma)
+        q = gamma * q
+        return P, q, A, l, u, D, E, c * gamma
+
+    init = (P, q, A, l, u, jnp.ones((n,), dtype), jnp.ones((m,), dtype), one)
+    P, q, A, l, u, D, E, c = lax.fori_loop(0, n_iters, body, init)
+    scal = ScalingData(D=D, E=E, c=c, Dinv=1.0 / D, Einv=1.0 / E, cinv=1.0 / c)
+    return P, q, A, l, u, scal
+
+
+def _solve_sparse_impl(P: SparseOp, q, A: SparseOp, l, u, dyn, scaling_iters,
+                       x0, y0):
+    l = jnp.clip(l, -C.OSQP_INFTY, C.OSQP_INFTY)
+    u = jnp.clip(u, -C.OSQP_INFTY, C.OSQP_INFTY)
+    Pb, qb, Ab, lb, ub, scal = sparse_ruiz(P, q, A, l, u, scaling_iters)
+    sdata = QPData(P=Pb, q=qb, A=Ab, l=lb, u=ub)
+    xb = scal.Dinv * x0
+    yb = scal.c * scal.Einv * y0
+    zb = Ab @ xb
+    fs = init_factor(sdata, dyn.sigma, dyn.rho_bar, indirect=True)
+    out, _ = solve_scaled(sdata, scal, dyn, xb, yb, zb, fs, linsys="indirect")
+    return out
+
+
+_solve_sparse_jit = jax.jit(_solve_sparse_impl)
+
+
+class SparseModel:
+    """Large sparse QP solver (scipy.sparse / COO input, matrix-free CG).
+
+    API-compatible subset of :class:`osqp_tpu.Model`: setup / solve /
+    warm_start / update (q, l, u — value updates of P/A rebuild operators).
+    Polish is not available on this path (no factorization exists)."""
+
+    def __init__(self):
+        self._is_setup = False
+
+    def setup(self, P=None, q=None, A=None, l=None, u=None, **settings):
+        self.settings = Settings.from_kwargs(**settings)
+        if self.settings.polish:
+            raise ValueError("polish is not supported on the sparse "
+                             "(matrix-free) path")
+        dtype = self.settings.resolve_dtype()
+        if _sp is None or not (_sp.issparse(P) and _sp.issparse(A)):
+            raise ValueError("SparseModel requires scipy.sparse P and A")
+        n = P.shape[0]
+        m = A.shape[0]
+        Pc = _sp.coo_matrix(_sp.csc_matrix(P))
+        # symmetrize from upper triangle convention: accept full symmetric
+        Ac = _sp.coo_matrix(_sp.csc_matrix(A))
+        self._P_op = sparse_op_from_coo(Pc.row, Pc.col, Pc.data, (n, n),
+                                        dtype)
+        self._A_op = sparse_op_from_coo(Ac.row, Ac.col, Ac.data, (m, n),
+                                        dtype)
+        self.n, self.m = int(n), int(m)
+        self._dtype = dtype
+        self._q = jnp.asarray(np.asarray(q, float), dtype)
+        self._l = jnp.asarray(np.asarray(l, float), dtype)
+        self._u = jnp.asarray(np.asarray(u, float), dtype)
+        self._x0 = jnp.zeros((n,), dtype)
+        self._y0 = jnp.zeros((m,), dtype)
+        self._is_setup = True
+        return self
+
+    def warm_start(self, x=None, y=None):
+        self._check()
+        dtype = self._dtype
+        self._x0 = (jnp.asarray(np.asarray(x, float), dtype)
+                    if x is not None else jnp.zeros((self.n,), dtype))
+        self._y0 = (jnp.asarray(np.asarray(y, float), dtype)
+                    if y is not None else jnp.zeros((self.m,), dtype))
+
+    def update(self, q=None, l=None, u=None):
+        self._check()
+        dtype = self._dtype
+        if q is not None:
+            q = np.asarray(q, float)
+            if q.shape[0] != self.n:
+                raise ValueError(f"q must have length n = {self.n}")
+            self._q = jnp.asarray(q, dtype)
+        if l is not None:
+            self._l = jnp.asarray(np.asarray(l, float), dtype)
+        if u is not None:
+            self._u = jnp.asarray(np.asarray(u, float), dtype)
+
+    def solve(self) -> Results:
+        self._check()
+        import time
+        t0 = time.perf_counter()
+        s = self.settings
+        dyn = dyn_from_settings(s, self._dtype)
+        out = _solve_sparse_jit(self._P_op, self._q, self._A_op,
+                                self._l, self._u, dyn,
+                                jnp.int32(s.scaling), self._x0, self._y0)
+        jax.block_until_ready(out.x)
+        solve_time = time.perf_counter() - t0
+        status_val = int(out.status)
+        status = Info.status_from_val(status_val)
+        info = Info(iter=int(out.iter), status=status, status_val=status_val,
+                    obj_val=float(out.obj_val), pri_res=float(out.pri_res),
+                    dua_res=float(out.dua_res), solve_time=solve_time,
+                    run_time=solve_time, rho_updates=int(out.rho_updates),
+                    rho_estimate=float(out.rho_estimate))
+        if s.warm_start:
+            # store scaled-back iterates unscaled for next solve
+            self._x0 = out.x
+            self._y0 = out.y
+        nan_n = np.full(self.n, np.nan)
+        nan_m = np.full(self.m, np.nan)
+        if status in C.SOLUTION_PRESENT:
+            return Results(x=np.asarray(out.x, float),
+                           y=np.asarray(out.y, float), info=info,
+                           prim_inf_cert=nan_m, dual_inf_cert=nan_n)
+        prim = (np.asarray(out.prim_cert, float)
+                if status.startswith("Primal_inf") else nan_m)
+        dual = (np.asarray(out.dual_cert, float)
+                if status.startswith("Dual_inf") else nan_n)
+        return Results(x=nan_n, y=nan_m, info=info,
+                       prim_inf_cert=prim, dual_inf_cert=dual)
+
+    def dimensions(self):
+        self._check()
+        return self.n, self.m
+
+    def _check(self):
+        if not self._is_setup:
+            raise RuntimeError("Model is empty: call setup() first")

@@ -1,0 +1,50 @@
+"""Validation over the benchmark problem families (the in-repo analogue of
+the Maros-Meszaros subset — SURVEY.md §6 / BASELINE.md "solution parity"):
+every family must solve, satisfy KKT conditions at its tolerance, and match
+the independent NumPy reference engine."""
+
+import numpy as np
+import pytest
+
+import osqp_tpu as osqp
+from osqp_tpu.problems import FAMILIES
+from osqp_tpu.utils.npref import solve_np
+
+EPS = 1e-5
+
+
+def kkt_violation(P, q, A, l, u, x, y):
+    stat = np.linalg.norm(P @ x + q + A.T @ y, np.inf)
+    Ax = A @ x
+    feas = max(np.max(Ax - np.minimum(u, 1e25), initial=0.0),
+               np.max(np.maximum(l, -1e25) - Ax, initial=0.0))
+    comp = np.max(np.abs(np.maximum(y, 0) * np.clip(u - Ax, -1e20, 1e20))
+                  + np.abs(np.minimum(y, 0) * np.clip(Ax - l, -1e20, 1e20)),
+                  initial=0.0)
+    return max(stat, feas, comp)
+
+
+@pytest.mark.parametrize("family", sorted(FAMILIES))
+def test_family_solves_and_satisfies_kkt(family):
+    P, q, A, l, u = FAMILIES[family]()
+    model = osqp.Model()
+    model.setup(P=P, q=q, A=A, l=l, u=u, verbose=False,
+                eps_abs=EPS, eps_rel=EPS, max_iter=20000, polish=True)
+    r = model.solve()
+    assert r.info.status == "Solved", f"{family}: {r.info.status}"
+    tol = 1e-3
+    assert kkt_violation(P, q, A, l, u, r.x, r.y) < tol, family
+
+
+@pytest.mark.parametrize("family", ["random_qp", "portfolio_qp", "lasso_qp"])
+def test_family_matches_npref(family):
+    P, q, A, l, u = FAMILIES[family]()
+    model = osqp.Model()
+    model.setup(P=P, q=q, A=A, l=l, u=u, verbose=False,
+                eps_abs=1e-7, eps_rel=1e-7, max_iter=20000)
+    r = model.solve()
+    x_np, y_np, _, status = solve_np(P, q, A, l, u, eps_abs=1e-7,
+                                     eps_rel=1e-7, max_iter=20000)
+    assert status == "Solved"
+    assert r.info.status == "Solved"
+    np.testing.assert_allclose(r.x, x_np, atol=1e-4)

@@ -1,0 +1,79 @@
+"""Large sparse (matrix-free CG) path — differential vs the dense engine and
+a moderately large problem sanity check."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import osqp_tpu as osqp
+from osqp_tpu.sparse_core import SparseModel
+
+
+def make_sparse_problem(n=80, m=160, density=0.05, seed=0):
+    rng = np.random.RandomState(seed)
+    Ph = sp.random(n, n, density=density, random_state=rng, format="csc")
+    P = (Ph.T @ Ph + 0.5 * sp.eye(n)).tocsc()
+    q = rng.randn(n)
+    A = sp.random(m, n, density=density, random_state=rng, format="csc")
+    A = (A + 0.1 * sp.random(m, n, density=0.02, random_state=rng)).tocsc()
+    l = -1 - rng.rand(m)
+    u = 1 + rng.rand(m)
+    return P, q, A, l, u
+
+
+def test_sparse_matches_dense():
+    P, q, A, l, u = make_sparse_problem()
+    sm = SparseModel().setup(P=P, q=q, A=A, l=l, u=u, verbose=False,
+                             eps_abs=1e-6, eps_rel=1e-6)
+    rs = sm.solve()
+    assert rs.info.status == "Solved"
+
+    dm = osqp.Model()
+    dm.setup(P=P.toarray(), q=q, A=A.toarray(), l=l, u=u, verbose=False,
+             eps_abs=1e-6, eps_rel=1e-6)
+    rd = dm.solve()
+    np.testing.assert_allclose(rs.x, rd.x, atol=1e-4)
+    assert abs(rs.info.obj_val - rd.info.obj_val) < 1e-4
+
+
+def test_sparse_warm_start_and_update():
+    P, q, A, l, u = make_sparse_problem(seed=3)
+    sm = SparseModel().setup(P=P, q=q, A=A, l=l, u=u, verbose=False,
+                             eps_abs=1e-6, eps_rel=1e-6)
+    r1 = sm.solve()
+    assert r1.info.status == "Solved"
+    r2 = sm.solve()  # auto warm start
+    assert r2.info.iter <= r1.info.iter
+    sm.update(q=q * 0.3)
+    r3 = sm.solve()
+    dm = osqp.Model()
+    dm.setup(P=P.toarray(), q=q * 0.3, A=A.toarray(), l=l, u=u,
+             verbose=False, eps_abs=1e-6, eps_rel=1e-6)
+    rd = dm.solve()
+    np.testing.assert_allclose(r3.x, rd.x, atol=1e-4)
+
+
+def test_sparse_large_lasso_style():
+    # n = 2000 sparse problem solved matrix-free in reasonable iterations
+    rng = np.random.RandomState(1)
+    n, m = 2000, 3000
+    P = sp.diags(1.0 + rng.rand(n)).tocsc()
+    A = sp.random(m, n, density=0.002, random_state=rng, format="csc")
+    A = (A + sp.eye(m, n)).tocsc()
+    q = rng.randn(n)
+    l = -np.ones(m)
+    u = np.ones(m)
+    sm = SparseModel().setup(P=P, q=q, A=A, l=l, u=u, verbose=False,
+                             eps_abs=1e-4, eps_rel=1e-4)
+    r = sm.solve()
+    assert r.info.status in ("Solved", "Solved_inaccurate")
+    # KKT sanity at the sparse solution
+    Pd = P.toarray()
+    viol = max(np.max(A @ r.x - u, initial=0), np.max(l - A @ r.x, initial=0))
+    assert viol < 1e-3
+
+
+def test_sparse_rejects_polish():
+    P, q, A, l, u = make_sparse_problem()
+    with pytest.raises(ValueError):
+        SparseModel().setup(P=P, q=q, A=A, l=l, u=u, polish=True)
