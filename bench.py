@@ -42,7 +42,7 @@ def main():
     from osqp_tpu.settings import Settings
     from osqp_tpu.utils.npref import solve_np
 
-    B, n, m = 1024, 128, 256
+    B, n, m = 4096, 128, 256
     P, q, A, l, u = make_batch(B, n, m)
     log(f"devices: {jax.devices()}")
     log(f"batch: B={B} n={n} m={m}")

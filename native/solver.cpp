@@ -777,6 +777,27 @@ int64_t tpuqp_warm_start(void* h, const double* x, const double* y) {
   return 0;
 }
 
+// generic scalar-setting update (the reference's osqp_update_<setting> family,
+// interface.jl:442-670). keys: 0 max_iter, 1 eps_abs, 2 eps_rel,
+// 3 eps_prim_inf, 4 eps_dual_inf, 5 alpha, 6 delta, 7 polish,
+// 8 polish_refine_iter, 9 check_termination
+int64_t tpuqp_update_setting(void* h, int64_t key, double value) {
+  auto* w = (Work*)h;
+  switch (key) {
+    case 0: w->st.max_iter = (idx)value; return 0;
+    case 1: w->st.eps_abs = value; return 0;
+    case 2: w->st.eps_rel = value; return 0;
+    case 3: w->st.eps_prim_inf = value; return 0;
+    case 4: w->st.eps_dual_inf = value; return 0;
+    case 5: w->st.alpha = value; return 0;
+    case 6: w->st.delta = value; return 0;
+    case 7: w->st.polish = (idx)value; return 0;
+    case 8: w->st.polish_refine_iter = (idx)value; return 0;
+    case 9: w->st.check_termination = (idx)value; return 0;
+  }
+  return 1;
+}
+
 int64_t tpuqp_update_rho(void* h, double rho) {
   auto* w = (Work*)h;
   w->rho_bar = rho;

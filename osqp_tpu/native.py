@@ -64,6 +64,9 @@ def _load_lib():
                                      ctypes.c_void_p, ctypes.c_void_p]
     lib.tpuqp_update_rho.restype = ctypes.c_int64
     lib.tpuqp_update_rho.argtypes = [ctypes.c_void_p, ctypes.c_double]
+    lib.tpuqp_update_setting.restype = ctypes.c_int64
+    lib.tpuqp_update_setting.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                         ctypes.c_double]
     lib.tpuqp_cleanup.argtypes = [ctypes.c_void_p]
     _LIB = lib
     return lib
@@ -220,17 +223,27 @@ class NativeModel:
             if rc != 0:
                 raise ValueError(f"Error updating {name} (code {rc})")
 
+    _SETTING_KEYS = {"max_iter": 0, "eps_abs": 1, "eps_rel": 2,
+                     "eps_prim_inf": 3, "eps_dual_inf": 4, "alpha": 5,
+                     "delta": 6, "polish": 7, "polish_refine_iter": 8,
+                     "check_termination": 9}
+
     def update_settings(self, **kwargs):
+        """Post-setup settings update (interface.jl:442-670): one native call
+        per changed setting; rho additionally refactorizes."""
         self._check()
         for k in kwargs:
             if k not in C.UPDATABLE_SETTINGS:
                 raise ValueError(f"{k} cannot be updated or is not recognized")
-        if "rho" in kwargs:
-            rc = self._lib.tpuqp_update_rho(self._h, float(kwargs["rho"]))
-            if rc != 0:
-                raise ValueError("refactorization failed after rho update")
-        # remaining dynamic settings require a re-setup in this backend for
-        # now; store for the next setup call
+        for k, v in kwargs.items():
+            if k == "rho":
+                rc = self._lib.tpuqp_update_rho(self._h, float(v))
+                if rc != 0:
+                    raise ValueError("refactorization failed after rho update")
+            elif k in self._SETTING_KEYS:
+                self._lib.tpuqp_update_setting(
+                    self._h, self._SETTING_KEYS[k], float(v))
+            # verbose / warm_start / time_limit are host-level no-ops here
         self._settings.update(kwargs)
 
     def warm_start(self, x=None, y=None):

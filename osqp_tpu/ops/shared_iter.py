@@ -26,15 +26,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(scalars_ref,  # SMEM prefetch: [sigma, alpha, K]
-            rinv_ref, a_ref, rho_ref, rho_inv_ref,
+            rinv_ref, a_ref, at_ref, rho_ref, rho_inv_ref,
             q_ref, l_ref, u_ref, x0_ref, y0_ref, z0_ref,
-            x_ref, y_ref, z_ref, xp_ref, yp_ref):
+            x_ref, y_ref, z_ref, xp_ref, yp_ref,
+            static_k: int = 0):
+    """``static_k > 0`` unrolls the iteration loop at trace time (better
+    Mosaic scheduling/ILP); otherwise the count comes from the prefetched
+    scalar and runs as a while_loop."""
     sigma = scalars_ref[0]
     alpha = scalars_ref[1]
     K = scalars_ref[2].astype(jnp.int32)
 
     Rinv = rinv_ref[:]       # (n, n) shared
     A = a_ref[:]             # (m, n) shared
+    At = at_ref[:]           # (n, m) shared — avoids an in-kernel transpose
     rho = rho_ref[:]         # (1, m) shared
     rho_inv = rho_inv_ref[:]
     q = q_ref[:]             # (G, n)
@@ -47,18 +52,22 @@ def _kernel(scalars_ref,  # SMEM prefetch: [sigma, alpha, K]
         w = rho * z - y                                   # (G, m)
         rhs = sigma * x - q + jnp.dot(w, A, preferred_element_type=pt)
         xt = jnp.dot(rhs, Rinv, preferred_element_type=pt)  # (G, n)
-        zt = lax.dot_general(xt, A, (((1,), (1,)), ((), ())),
-                             preferred_element_type=pt)     # (G, m)
+        zt = jnp.dot(xt, At, preferred_element_type=pt)     # (G, m)
         x_new = alpha * xt + (1.0 - alpha) * x
         v = alpha * zt + (1.0 - alpha) * z + rho_inv * y
         z_new = jnp.clip(v, lb, ub)
         y_new = rho * (v - z_new)
         return x_new, y_new, z_new
 
-    xp, yp, zp = lax.while_loop(
-        lambda c: c[0] < K - 1,
-        lambda c: (c[0] + 1,) + step(c[1:]),
-        (jnp.int32(0), x0_ref[:], y0_ref[:], z0_ref[:]))[1:]
+    if static_k > 0:
+        xp, yp, zp = x0_ref[:], y0_ref[:], z0_ref[:]
+        for _ in range(static_k - 1):
+            xp, yp, zp = step((xp, yp, zp))
+    else:
+        xp, yp, zp = lax.while_loop(
+            lambda c: c[0] < K - 1,
+            lambda c: (c[0] + 1,) + step(c[1:]),
+            (jnp.int32(0), x0_ref[:], y0_ref[:], z0_ref[:]))[1:]
     x, y, z = step((xp, yp, zp))
 
     xp_ref[:] = xp
@@ -69,10 +78,10 @@ def _kernel(scalars_ref,  # SMEM prefetch: [sigma, alpha, K]
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("group", "interpret"))
+                   static_argnames=("group", "interpret", "static_k"))
 def admm_iterate_shared(Rinv, A, rho_vec, rho_inv, q, l, u, x, y, z,
                         sigma, alpha, K, group: int = 128,
-                        interpret: bool = False):
+                        interpret: bool = False, static_k: int = 0):
     """K ADMM iterations for a shared-structure batch.
 
     Shapes: Rinv (n,n), A (m,n), rho (m,), q/x (B,n), l/u/y/z (B,m);
@@ -100,6 +109,7 @@ def admm_iterate_shared(Rinv, A, rho_vec, rho_inv, q, l, u, x, y, z,
         in_specs=[
             shared2(n, n),                # Rinv
             shared2(m, n),                # A
+            shared2(n, m),                # At
             shared2(1, m), shared2(1, m),  # rho, rho_inv
             batched(n),                   # q
             batched(m), batched(m),       # l, u
@@ -111,8 +121,9 @@ def admm_iterate_shared(Rinv, A, rho_vec, rho_inv, q, l, u, x, y, z,
         ],
     )
 
+    import functools as _ft
     out = pl.pallas_call(
-        _kernel,
+        _ft.partial(_kernel, static_k=static_k),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, n), dtype),
@@ -122,6 +133,6 @@ def admm_iterate_shared(Rinv, A, rho_vec, rho_inv, q, l, u, x, y, z,
             jax.ShapeDtypeStruct((B, m), dtype),
         ],
         interpret=interpret,
-    )(scalars, Rinv, A, rho_vec[None, :], rho_inv[None, :],
+    )(scalars, Rinv, A, A.T, rho_vec[None, :], rho_inv[None, :],
       q, l, u, x, y, z)
     return tuple(out)

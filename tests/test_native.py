@@ -148,3 +148,18 @@ def test_native_unconstrained():
     r = nm.solve()
     assert r.info.status == "Solved"
     np.testing.assert_allclose(r.x, -np.linalg.solve(P, q), atol=1e-5)
+
+
+def test_native_update_settings():
+    P, q, A, l, u = make_problem(seed=9)
+    nm = NativeModel().setup(P=P, q=q, A=A, l=l, u=u,
+                             eps_abs=1e-4, eps_rel=1e-4)
+    nm.solve()
+    nm.update_settings(max_iter=30, eps_abs=1e-12, eps_rel=1e-12,
+                       check_termination=1)
+    nm.warm_start(x=np.zeros(nm.n), y=np.zeros(nm.m))
+    r = nm.solve()
+    assert r.info.status == "Max_iter_reached"
+    assert r.info.iter == 30
+    with pytest.raises(ValueError):
+        nm.update_settings(scaling=5)
