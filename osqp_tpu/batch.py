@@ -13,16 +13,14 @@ when every lane is done.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .batch_core import solve_batch as _batched_solve_impl
-from .core import dyn_from_settings, solve
+from .core import dyn_from_settings
 from .settings import Settings
 from .shared_core import solve_shared as _shared_solve_impl
 from .types import QPData, SolveOutput

@@ -26,7 +26,7 @@ from . import constants as C
 from .core import (ResInfo, build_rho_vec, constraint_masks,
                    dual_infeasibility, primal_infeasibility, residual_norms,
                    scale_problem, termination_status)
-from .linalg import chol_factor, with_precision
+from .linalg import with_precision
 from .types import DynParams, QPData, ScalingData, SolveOutput
 
 _DIV_GUARD = 1e-10

@@ -13,8 +13,6 @@ analogue of the reference's zero-allocation re-solve contract
 from __future__ import annotations
 
 import time
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -24,7 +22,7 @@ from .core import (dyn_from_settings, init_factor, scale_problem, solve_scaled)
 from .linalg import chol_factor
 from .polish import polish as _polish_fn
 from .settings import Settings
-from .sparse import CSCPattern, csc_from_matrix, symmetric_from_triu
+from .sparse import csc_from_matrix, symmetric_from_triu
 from .types import Info, QPData, Results
 
 __version__ = "0.1.0"
@@ -262,6 +260,9 @@ class Model:
         )
         self._update_time = 0.0
 
+        if s.verbose:
+            self._print_summary(info)
+
         nan_n = np.full(self.n, np.nan)
         nan_m = np.full(self.m, np.nan)
         if status in C.SOLUTION_PRESENT:
@@ -441,6 +442,25 @@ class Model:
         else:
             self._ybar = jnp.zeros((self.m,), dtype)
         self._zbar = self._sdata.A @ self._xbar
+
+    def _print_summary(self, info: Info) -> None:
+        """Verbose solve summary (the reference's C-side iteration log —
+        types.jl:129 verbose setting — reported as a host-side block here;
+        under jit there is no per-iteration host hook without callbacks)."""
+        s = self.settings
+        print(f"osqp-tpu {__version__}: "
+              f"n = {self.n}, m = {self.m}, "
+              f"linsys = {self._linsys}, dtype = {np.dtype(self._dtype).name}")
+        print(f"  eps_abs = {s.eps_abs:.1e}, eps_rel = {s.eps_rel:.1e}, "
+              f"rho = {s.rho:.2e} (adaptive: {s.adaptive_rho})")
+        print(f"  status: {info.status}   iters: {info.iter}   "
+              f"rho_updates: {info.rho_updates}")
+        print(f"  obj: {info.obj_val:.6e}   pri_res: {info.pri_res:.2e}   "
+              f"dua_res: {info.dua_res:.2e}")
+        print(f"  setup: {info.setup_time*1e3:.1f} ms   "
+              f"solve: {info.solve_time*1e3:.1f} ms   "
+              f"polish: {info.polish_time*1e3:.1f} ms "
+              f"(status_polish: {info.status_polish})")
 
     # ------------------------------------------------------- checkpoint/resume
     def get_state(self) -> dict:

@@ -23,14 +23,13 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 
 from . import constants as C
 from .linalg import chol_factor, with_precision
 from .scaling import _limit_scaling
-from .types import DynParams, QPData, ScalingData, SolveOutput
+from .types import DynParams, SolveOutput
 
 _DIV_GUARD = 1e-10
 

@@ -11,8 +11,6 @@ chip, with A row-shardable across a mesh for multi-chip (SURVEY.md §2.3
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
