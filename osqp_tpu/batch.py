@@ -20,10 +20,40 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .batch_core import solve_batch as _batched_solve_impl
-from .core import dyn_from_settings
+from .core import dyn_from_settings, scale_problem
+from .polish import polish as _polish_fn
 from .settings import Settings
 from .shared_core import solve_shared as _shared_solve_impl
 from .types import QPData, SolveOutput
+
+from . import constants as _C
+
+
+def _batched_polish(data: QPData, dyn, scaling_iters, delta, refine,
+                    out: SolveOutput) -> SolveOutput:
+    """Vmapped active-set polish over the batch, merged per the C core's
+    acceptance rule (only lanes that Solved and strictly improved)."""
+    sdata, scal = jax.vmap(lambda d: scale_problem(d, scaling_iters))(data)
+    pol = jax.vmap(
+        lambda sd, sc, xb, yb, pr, du: _polish_fn(
+            sd, sc, dyn, delta, refine, xb, yb, pr, du)
+    )(sdata, scal, out.xbar, out.ybar, out.pri_res, out.dua_res)
+    solved = out.status == _C.SOLVED
+    ok = pol.success & solved
+    okc = ok[:, None]
+    return out._replace(
+        x=jnp.where(okc, pol.x, out.x),
+        y=jnp.where(okc, pol.y, out.y),
+        z=jnp.where(okc, pol.z, out.z),
+        obj_val=jnp.where(ok, pol.obj_val, out.obj_val),
+        pri_res=jnp.where(ok, pol.pri_res, out.pri_res),
+        dua_res=jnp.where(ok, pol.dua_res, out.dua_res),
+        status_polish=jnp.where(solved, jnp.where(ok, 1, -1), 0)
+        .astype(jnp.int32),
+    )
+
+
+_polish_batch_jit = jax.jit(_batched_polish)
 
 
 def _vmapped_solve(data: QPData, dyn, scaling_iters, x0, y0,
@@ -102,16 +132,28 @@ class BatchedSolver:
             group = 128
             while B % group != 0:
                 group //= 2
-            return self._shared_jit(Pm, A, q, l, u, dyn,
-                                    jnp.int32(s.scaling), x0, y0,
-                                    group, interpret)
-        if Pm.ndim == 2:  # shared P / A broadcast across the batch
-            Pm = jnp.broadcast_to(Pm, (B, n, n))
-        if A.ndim == 2:
-            A = jnp.broadcast_to(A, (B, m, n))
-        data = QPData(P=Pm, q=q, A=A, l=l, u=u)
-        return self._jit(data, dyn, jnp.int32(s.scaling), x0, y0,
-                         self.kkt_mode)
+            out = self._shared_jit(Pm, A, q, l, u, dyn,
+                                   jnp.int32(s.scaling), x0, y0,
+                                   group, interpret)
+        else:
+            if Pm.ndim == 2:  # shared P / A broadcast across the batch
+                Pm = jnp.broadcast_to(Pm, (B, n, n))
+            if A.ndim == 2:
+                A = jnp.broadcast_to(A, (B, m, n))
+            data = QPData(P=Pm, q=q, A=A, l=l, u=u)
+            out = self._jit(data, dyn, jnp.int32(s.scaling), x0, y0,
+                            self.kkt_mode)
+        if s.polish:
+            if Pm.ndim == 2:
+                Pm = jnp.broadcast_to(Pm, (B, n, n))
+            if A.ndim == 2:
+                A = jnp.broadcast_to(A, (B, m, n))
+            data = QPData(P=Pm, q=q, A=A, l=l, u=u)
+            out = _polish_batch_jit(
+                data, dyn, jnp.int32(s.scaling),
+                jnp.asarray(s.delta, dtype),
+                jnp.int32(s.polish_refine_iter), out)
+        return out
 
 
 def solve_batch(Pm, q, A, l, u, settings: Optional[Settings] = None,

@@ -66,7 +66,7 @@ class ConsensusQP:
                 pri_res=rep, dua_res=rep, obj_val=rep,
                 prim_cert=row, dual_cert=rep,
                 rho_updates=rep, rho_estimate=rep,
-                xbar=rep, ybar=row, zbar=row),
+                xbar=rep, ybar=row, zbar=row, status_polish=rep),
         )
 
     def solve(self, Pm, q, A, l, u, x0=None, y0=None) -> SolveOutput:

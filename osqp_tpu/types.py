@@ -74,7 +74,10 @@ class DynParams(NamedTuple):
 
 
 class SolveOutput(NamedTuple):
-    """Result of the jitted ADMM core (scaled iterates + diagnostics)."""
+    """Result of the jitted ADMM core (scaled iterates + diagnostics).
+
+    ``status_polish`` follows the reference CInfo convention (types.jl:88):
+    1 = polished successfully, 0 = not run, -1 = attempted and rejected."""
     x: Any            # (n,)  unscaled primal solution
     y: Any            # (m,)  unscaled dual solution
     z: Any            # (m,)  unscaled slack Ax ≈ z
@@ -91,6 +94,7 @@ class SolveOutput(NamedTuple):
     xbar: Any
     ybar: Any
     zbar: Any
+    status_polish: Any = 0  # int32 (see class docstring)
 
 
 # ---------------------------------------------------------------------------

@@ -130,3 +130,53 @@ def test_solve_empty_model_raises():
 def test_dimensions():
     model = make_model()
     assert model.dimensions() == (2, 5)
+
+
+def test_csc_roundtrip():
+    # analogue of reference test/interface.jl CSC round-trip
+    from osqp_tpu.sparse import csc_from_matrix
+    rng = np.random.RandomState(0)
+    M = rng.randn(6, 4) * (rng.rand(6, 4) < 0.5)
+    pat = csc_from_matrix(M)
+    np.testing.assert_array_equal(pat.to_dense(), M)
+    import scipy.sparse as sp
+    pat2 = csc_from_matrix(sp.csc_matrix(M))
+    np.testing.assert_array_equal(pat2.to_dense(), M)
+    assert pat.nnz == pat2.nnz
+
+
+def test_settings_defaults_match_reference():
+    # C core v0.6.2 defaults, fetched by the wrapper via
+    # osqp_set_default_settings (reference types.jl:136-145)
+    s = osqp.Settings()
+    assert s.rho == 0.1
+    assert s.sigma == 1e-6
+    assert s.scaling == 10
+    assert s.adaptive_rho is True
+    assert s.adaptive_rho_interval == 0
+    assert s.adaptive_rho_tolerance == 5.0
+    assert s.adaptive_rho_fraction == 0.4
+    assert s.max_iter == 4000
+    assert s.eps_abs == 1e-3 and s.eps_rel == 1e-3
+    assert s.eps_prim_inf == 1e-4 and s.eps_dual_inf == 1e-4
+    assert s.alpha == 1.6
+    assert s.delta == 1e-6
+    assert s.polish is False
+    assert s.polish_refine_iter == 3
+    assert s.verbose is True
+    assert s.scaled_termination is False
+    assert s.check_termination == 25
+    assert s.warm_start is True
+    assert s.time_limit == 0.0
+
+
+def test_settings_validation():
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        osqp.Settings(rho=-1.0)
+    with _pytest.raises(ValueError):
+        osqp.Settings(alpha=2.5)
+    with _pytest.raises(ValueError):
+        osqp.Settings(linsys_solver="bogus")
+    s = osqp.Settings(linsys_solver="mkl pardiso")
+    assert s.linsys_solver == osqp.constants.MKL_PARDISO_SOLVER

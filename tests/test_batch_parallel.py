@@ -111,3 +111,20 @@ def test_consensus_rejects_indivisible_m():
     with pytest.raises(ValueError):
         ConsensusQP(mesh).solve(np.eye(2), np.zeros(2),
                                 np.ones((3, 2)), -np.ones(3), np.ones(3))
+
+
+def test_batched_polish():
+    # polish parity on the batched path: status_polish=1 and tighter KKT
+    B, n, m = 4, 10, 16
+    P, q, A, l, u = make_batch(B, n, m, seed=6)
+    s = Settings(verbose=False, eps_abs=1e-3, eps_rel=1e-3, polish=True)
+    for mode in ("inverse", "shared"):
+        out = BatchedSolver(settings=s, kkt_mode=mode).solve(P, q, A, l, u)
+        sp = np.asarray(out.status_polish)
+        assert np.all(np.asarray(out.status) == 1)
+        assert np.all(sp == 1), (mode, sp)
+        for i in range(B):
+            stat = np.linalg.norm(
+                P @ np.asarray(out.x[i]) + q[i] + A.T @ np.asarray(out.y[i]),
+                np.inf)
+            assert stat < 1e-6, (mode, i, stat)
