@@ -276,8 +276,14 @@ def admm_step(sdata: QPData, dyn: DynParams, carry: Carry,
     alpha = dyn.alpha
     rhs = dyn.sigma * carry.x - q + A.T @ (carry.rho_vec * carry.z - carry.y)
     if indirect:
+        # adaptive forcing term (inexact ADMM): solve the KKT system only as
+        # accurately as the current outer residuals warrant — loose early,
+        # tightening toward cg_tol as ADMM converges
+        res_scale = jnp.minimum(carry.pri_res, carry.dua_res)
+        res_scale = jnp.where(jnp.isfinite(res_scale), res_scale, 1.0)
+        tol = jnp.clip(0.05 * res_scale, dyn.cg_tol, 1e-2)
         xt = cg_solve(_kkt_matvec(sdata, dyn.sigma, carry.rho_vec), rhs,
-                      carry.x, dyn.cg_tol, dyn.cg_max_iter,
+                      carry.x, tol, dyn.cg_max_iter,
                       M_inv_diag=carry.L)
     else:
         xt = chol_solve(carry.L, rhs)

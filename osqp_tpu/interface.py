@@ -146,7 +146,7 @@ class Model:
         self._l_np = np.maximum(l, -C.OSQP_INFTY)
         self._u_np = np.minimum(u, C.OSQP_INFTY)
 
-        self._push_data(first=True)
+        self._push_data()
         self._reset_start()
         self._update_time = 0.0
         self._setup_time = time.perf_counter() - t0
@@ -156,7 +156,7 @@ class Model:
     def _dense_P(self) -> np.ndarray:
         return symmetric_from_triu(self._P_pat.to_dense())
 
-    def _push_data(self, first: bool) -> None:
+    def _push_data(self) -> None:
         """(Re)build device-side scaled data + factorization from host state."""
         dtype = self._dtype
         data = QPData(

@@ -123,6 +123,8 @@ class NativeModel:
         self.n, self.m = int(n), int(m)
         self._P_pat = csc_from_matrix(P, triu=True)
         self._A_pat = csc_from_matrix(A, triu=False)
+        self._l_np = np.asarray(l, float).copy()
+        self._u_np = np.asarray(u, float).copy()
         self._settings = dict(settings)
         settings.pop("verbose", None)
         settings.pop("warm_start", None)
@@ -188,15 +190,12 @@ class NativeModel:
                 raise ValueError(f"q must have length n = {self.n}")
             self._lib.tpuqp_update_q(self._h, q)
         if (l is not None) or (u is not None):
+            # one-sided updates keep the other side from the host cache
+            # (the reference's lcache/ucache pattern, interface.jl:252-313)
             l2 = np.ascontiguousarray(
-                l if l is not None else np.full(self.m, -np.inf), np.float64)
+                l if l is not None else self._l_np, np.float64)
             u2 = np.ascontiguousarray(
-                u if u is not None else np.full(self.m, np.inf), np.float64)
-            if l is None or u is None:
-                # one-sided update: keep the other side's current values by
-                # round-tripping through host caches
-                raise ValueError(
-                    "NativeModel.update requires both l and u together")
+                u if u is not None else self._u_np, np.float64)
             if l2.shape[0] != self.m or u2.shape[0] != self.m:
                 raise ValueError(f"bounds must have length m = {self.m}")
             rc = self._lib.tpuqp_update_bounds(self._h, l2, u2)
@@ -204,6 +203,8 @@ class NativeModel:
                 raise ValueError("l must be lower than or equal to u")
             if rc == 2:
                 raise ValueError("refactorization failed after bounds update")
+            self._l_np = l2.copy()
+            self._u_np = u2.copy()
         for name, vals, idxs, fn, pat in (
                 ("P", Px, Px_idx, self._lib.tpuqp_update_P, self._P_pat),
                 ("A", Ax, Ax_idx, self._lib.tpuqp_update_A, self._A_pat)):

@@ -163,3 +163,18 @@ def test_native_update_settings():
     assert r.info.iter == 30
     with pytest.raises(ValueError):
         nm.update_settings(scaling=5)
+
+
+def test_native_one_sided_bound_update():
+    # lcache/ucache pattern (interface.jl:252-313): updating only l keeps u
+    P, q, A, l, u = make_problem(seed=11)
+    nm = NativeModel().setup(P=P, q=q, A=A, l=l, u=u,
+                             eps_abs=1e-6, eps_rel=1e-6)
+    nm.solve()
+    nm.update(l=l - 1.0)
+    r = nm.solve()
+    jm = osqp.Model()
+    jm.setup(P=P, q=q, A=A, l=l - 1.0, u=u, verbose=False,
+             eps_abs=1e-6, eps_rel=1e-6)
+    rj = jm.solve()
+    np.testing.assert_allclose(r.x, rj.x, atol=TOL)
