@@ -105,10 +105,11 @@ class BatchedSolver:
             self._jit = jax.jit(_vmapped_solve,
                                 static_argnames=("kkt_mode",))
         self._shared_jit = jax.jit(
-            lambda P, A, q, l, u, dyn, sc, x0, y0, group, interpret:
+            lambda P, A, q, l, u, dyn, sc, x0, y0, group, interpret, adaptive:
             _shared_solve_impl(P, A, q, l, u, dyn, sc, x0, y0,
-                               group=group, interpret=interpret),
-            static_argnames=("group", "interpret"))
+                               group=group, interpret=interpret,
+                               adaptive=adaptive),
+            static_argnames=("group", "interpret", "adaptive"))
 
     def solve(self, Pm, q, A, l, u, x0=None, y0=None) -> SolveOutput:
         s = self.settings
@@ -134,7 +135,7 @@ class BatchedSolver:
                 group //= 2
             out = self._shared_jit(Pm, A, q, l, u, dyn,
                                    jnp.int32(s.scaling), x0, y0,
-                                   group, interpret)
+                                   group, interpret, bool(s.adaptive_rho))
         else:
             if Pm.ndim == 2:  # shared P / A broadcast across the batch
                 Pm = jnp.broadcast_to(Pm, (B, n, n))

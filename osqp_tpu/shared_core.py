@@ -392,12 +392,91 @@ def solve_batch_shared(P, A, qb, lb, ub, scal: SharedScaling, dyn: DynParams,
     )
 
 
+@with_precision
+def solve_batch_shared_fixed(P, A, qb, lb, ub, scal: SharedScaling,
+                             dyn: DynParams, x0, y0, z0, group: int = 128,
+                             interpret: bool = False) -> SolveOutput:
+    """Fixed-rho shared-structure solve: the ENTIRE loop runs in one Pallas
+    kernel (ops/solve_kernel.py) with in-kernel residual checks and per-lane
+    freezing. Used when adaptive_rho is off (no mid-solve refactorization)."""
+    from .ops.solve_kernel import admm_solve_shared
+
+    dtype = P.dtype
+    B = x0.shape[0]
+
+    loose_b = (lb <= -C.INFTY_THRESH) & (ub >= C.INFTY_THRESH)
+    eq_b = (~loose_b) & (ub - lb < C.RHO_TOL)
+    loose = jnp.all(loose_b, axis=0)
+    eq = jnp.all(eq_b, axis=0) & ~loose
+    rho0 = jnp.clip(jnp.asarray(dyn.rho_bar, dtype), C.RHO_MIN, C.RHO_MAX)
+    rho_vec, rho_inv = _shared_rho_vec(loose, eq, rho0)
+    Rinv = _shared_inverse(P, A, dyn.sigma, rho_vec)
+
+    st = dyn.scaled_termination.astype(bool)
+    Einv_eff = jnp.where(st, jnp.ones_like(scal.Einv), scal.Einv)
+    Dinv_eff = jnp.where(st, jnp.ones_like(scal.Dinv), scal.Dinv)
+    cinv_eff = jnp.where(st, jnp.ones_like(scal.cinv), scal.cinv)
+
+    x, y, z, xp, yp, done, iters = admm_solve_shared(
+        Rinv, P, A, rho_vec, rho_inv, Einv_eff, Dinv_eff, cinv_eff,
+        qb, lb, ub, x0, y0, z0, dyn.sigma, dyn.alpha,
+        dyn.max_iter, dyn.check_termination, dyn.eps_abs, dyn.eps_rel,
+        group=group, interpret=interpret)
+
+    # finalize identically to the epoch engine: accurate check classifies
+    # every lane; lanes still RUNNING hit max_iter -> approximate check
+    dx = x - xp
+    dy = y - yp
+    status_acc, res = shared_check(P, A, qb, lb, ub, scal, dyn, x, y, z,
+                                   dx, dy, jnp.asarray(1.0, dtype),
+                                   accurate=True)
+    hit_max = status_acc == C.RUNNING
+    approx_status, approx_res = shared_check(
+        P, A, qb, lb, ub, scal, dyn, x, y, z, dx, dy,
+        jnp.asarray(C.INACCURATE_EPS_FACTOR, dtype), accurate=False)
+    allow = (dyn.check_termination > 0) & (dyn.final_approx != 0)
+    status = jnp.where(
+        hit_max,
+        jnp.where(allow & (approx_status != C.RUNNING),
+                  approx_status, C.MAX_ITER_REACHED),
+        status_acc).astype(jnp.int32)
+    pri_res = jnp.where(hit_max, approx_res.pri_res, res.pri_res)
+    dua_res = jnp.where(hit_max, approx_res.dua_res, res.dua_res)
+
+    xu = scal.D * x
+    yu = scal.cinv * scal.E * y
+    zu = scal.Einv * z
+    _, prim_cert = shared_primal_inf(A, lb, ub, scal, dy, dyn.eps_prim_inf)
+    _, dual_cert = shared_dual_inf(P, A, qb, lb, ub, scal, dx,
+                                   dyn.eps_dual_inf)
+    obj = scal.cinv * (0.5 * jnp.sum(x * (x @ P), axis=1)
+                       + jnp.sum(qb * x, axis=1))
+    nan = jnp.asarray(jnp.nan, dtype)
+    obj = jnp.where(status == C.NON_CONVEX, nan, obj)
+    obj = jnp.where((status == C.PRIMAL_INFEASIBLE)
+                    | (status == C.PRIMAL_INFEASIBLE_INACCURATE),
+                    jnp.asarray(jnp.inf, dtype), obj)
+    obj = jnp.where((status == C.DUAL_INFEASIBLE)
+                    | (status == C.DUAL_INFEASIBLE_INACCURATE),
+                    jnp.asarray(-jnp.inf, dtype), obj)
+
+    return SolveOutput(
+        x=xu, y=yu, z=zu, status=status, iter=iters,
+        pri_res=pri_res, dua_res=dua_res, obj_val=obj,
+        prim_cert=prim_cert, dual_cert=dual_cert,
+        rho_updates=jnp.zeros((B,), jnp.int32),
+        rho_estimate=jnp.broadcast_to(rho0, (B,)),
+        xbar=x, ybar=y, zbar=z,
+    )
+
+
 def solve_shared(P, A, q, l, u, dyn: DynParams, scaling_iters,
-                 x0, y0, group: int = 128,
-                 interpret: bool = False) -> SolveOutput:
+                 x0, y0, group: int = 128, interpret: bool = False,
+                 adaptive: bool = True) -> SolveOutput:
     """One-shot shared-structure solve: scale shared data once, solve batch.
 
-    P (n,n), A (m,n) shared; q (B,n), l/u (B,m) per-lane; x0/y0 unscaled."""
+    P (n,n), A (m,n) shared; q (B,n), l/u (B,m) per-lane; x0/y0 unscaled.
+    ``adaptive=False`` selects the single-kernel fixed-rho path."""
     dtype = P.dtype
     l = jnp.clip(l, -C.OSQP_INFTY, C.OSQP_INFTY)
     u = jnp.clip(u, -C.OSQP_INFTY, C.OSQP_INFTY)
@@ -409,5 +488,9 @@ def solve_shared(P, A, q, l, u, dyn: DynParams, scaling_iters,
     xb = scal.Dinv * x0
     yb = scal.c * scal.Einv * y0
     zb = xb @ Ab.T
+    if not adaptive:
+        return solve_batch_shared_fixed(Pb, Ab, qb, lb, ub, scal, dyn,
+                                        xb, yb, zb, group=group,
+                                        interpret=interpret)
     return solve_batch_shared(Pb, Ab, qb, lb, ub, scal, dyn, xb, yb, zb,
                               group=group, interpret=interpret)

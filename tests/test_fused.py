@@ -78,3 +78,23 @@ def test_shared_requires_2d():
     with pytest.raises(ValueError):
         solver.solve(np.broadcast_to(P, (B, n, n)), q,
                      np.broadcast_to(A, (B, m, n)), l, u)
+
+
+def test_fixed_rho_full_kernel_matches_epoch():
+    # adaptive_rho=False routes to the single-kernel full-solve path; must
+    # match the epoch engine exactly (same check cadence, same freezing)
+    B, n, m = 4, 8, 16
+    P, q, A, l, u = make_batch(B, n, m, seed=8)
+    s = Settings(verbose=False, eps_abs=1e-5, eps_rel=1e-5,
+                 adaptive_rho=False, dtype=np.float32)
+    s2 = Settings(verbose=False, eps_abs=1e-5, eps_rel=1e-5,
+                  adaptive_rho=True, dtype=np.float32)
+    out_fixed = BatchedSolver(settings=s, kkt_mode="shared").solve(P, q, A, l, u)
+    out_ref = BatchedSolver(settings=s2, kkt_mode="shared").solve(P, q, A, l, u)
+    assert np.asarray(out_ref.rho_updates).max() == 0  # same rho trajectory
+    np.testing.assert_array_equal(np.asarray(out_fixed.status),
+                                  np.asarray(out_ref.status))
+    np.testing.assert_array_equal(np.asarray(out_fixed.iter),
+                                  np.asarray(out_ref.iter))
+    np.testing.assert_allclose(np.asarray(out_fixed.x),
+                               np.asarray(out_ref.x), atol=1e-5)

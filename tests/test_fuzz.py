@@ -1,0 +1,92 @@
+"""Randomized differential fuzzing: the JAX engine vs the independent NumPy
+reference across random problems, random settings, and random update
+sequences (the reference suite's differential pattern, broadened)."""
+
+import numpy as np
+import pytest
+
+import osqp_tpu as osqp
+from osqp_tpu.utils.npref import solve_np
+
+
+def random_problem(rng):
+    n = int(rng.randint(2, 40))
+    m = int(rng.randint(1, 60))
+    M = rng.randn(n, n) / np.sqrt(n)
+    P = M.T @ M + (0.05 + rng.rand()) * np.eye(n)
+    q = rng.randn(n) * (1 + 2 * rng.rand())
+    A = rng.randn(m, n) / np.sqrt(n)
+    style = rng.randint(3)
+    if style == 0:  # two-sided boxes
+        c = rng.randn(m) * 0.2
+        w = 0.5 + rng.rand(m)
+        l, u = c - w, c + w
+    elif style == 1:  # mix of one-sided and equalities
+        l = np.where(rng.rand(m) < 0.3, -np.inf, -1 - rng.rand(m))
+        u = 1 + rng.rand(m)
+        eq = rng.rand(m) < 0.2
+        mid = np.where(np.isfinite(l), (np.where(np.isfinite(l), l, 0) + u) / 2,
+                       u - 1)
+        l = np.where(eq, mid, l)
+        u = np.where(eq, mid, u)
+    else:  # loose rows included
+        l = np.where(rng.rand(m) < 0.2, -np.inf, -2.0 * np.ones(m))
+        u = np.where(rng.rand(m) < 0.2, np.inf, 2.0 * np.ones(m))
+        both_inf = ~np.isfinite(l) & ~np.isfinite(u)
+        l = np.where(both_inf, -np.inf, l)
+    return P, q, A, l, u
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzz_differential_vs_npref(seed):
+    rng = np.random.RandomState(1000 + seed)
+    P, q, A, l, u = random_problem(rng)
+    settings = dict(
+        eps_abs=10.0 ** -rng.randint(5, 8),
+        eps_rel=10.0 ** -rng.randint(5, 8),
+        rho=float(10.0 ** (rng.rand() * 2 - 2)),
+        alpha=float(1.0 + rng.rand() * 0.8),
+        scaling=int(rng.choice([0, 5, 10])),
+        adaptive_rho=bool(rng.rand() < 0.7),
+        check_termination=int(rng.choice([1, 10, 25])),
+        max_iter=20000,
+    )
+    x_np, y_np, _, status_np = solve_np(P, q, A, l, u, **settings)
+
+    model = osqp.Model()
+    model.setup(P=P, q=q, A=A, l=l, u=u, verbose=False, **settings)
+    r = model.solve()
+
+    if status_np != "Solved" or r.info.status != "Solved":
+        # both engines must at least agree on solvability at these settings
+        assert status_np == r.info.status, (status_np, r.info.status)
+        return
+    tol = 50 * max(settings["eps_abs"], settings["eps_rel"])
+    scale = 1 + np.linalg.norm(x_np, np.inf)
+    assert np.linalg.norm(r.x - x_np, np.inf) / scale < tol, (
+        np.linalg.norm(r.x - x_np, np.inf), tol)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_update_equals_fresh(seed):
+    rng = np.random.RandomState(2000 + seed)
+    P, q, A, l, u = random_problem(rng)
+    kw = dict(verbose=False, eps_abs=1e-7, eps_rel=1e-7,
+              adaptive_rho=False, check_termination=1, max_iter=20000)
+    model = osqp.Model()
+    model.setup(P=P, q=q, A=A, l=l, u=u, **kw)
+    model.solve()
+    # random sequence of value updates
+    q2 = q + rng.randn(*q.shape) * 0.3
+    shift = rng.rand() * 0.5
+    l2 = l - shift
+    u2 = u + shift
+    model.update(q=q2, l=l2, u=u2)
+    r_inc = model.solve()
+
+    fresh = osqp.Model()
+    fresh.setup(P=P, q=q2, A=A, l=l2, u=u2, **kw)
+    r_fresh = fresh.solve()
+    assert r_inc.info.status == r_fresh.info.status
+    if r_inc.info.status == "Solved":
+        np.testing.assert_allclose(r_inc.x, r_fresh.x, atol=1e-4)
