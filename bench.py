@@ -64,26 +64,57 @@ def main():
     log(f"solved fraction: {solved_frac:.3f}; iters max={iters.max()} "
         f"mean={iters.mean():.1f}")
 
-    # timed runs (perturb q so nothing is cached trivially)
+    # timed cold runs (perturb q so nothing is cached trivially); timing
+    # includes the host transfer of the result (block_until_ready alone
+    # under-reports on this runtime)
+    rng = np.random.RandomState(7)
     times = []
     for rep in range(3):
-        q2 = q + 0.01 * rep
+        q2 = q + 0.05 * rng.randn(*q.shape)
         t0 = time.perf_counter()
         out = solver.solve(P, q2, A, l, u)
-        jax.block_until_ready(out.x)
+        xs = np.asarray(out.x)
         times.append(time.perf_counter() - t0)
     t_best = min(times)
     tpu_qps = B / t_best
-    log(f"timed runs: {['%.3f' % t for t in times]} -> {tpu_qps:.1f} QP/s")
+    log(f"cold timed runs: {['%.3f' % t for t in times]} -> {tpu_qps:.1f} QP/s")
+
+    # warm-started re-solve (the receding-horizon MPC cycle: shift the cost,
+    # warm start from the previous solution)
+    xw, yw = np.asarray(out.x), np.asarray(out.y)
+    wtimes = []
+    for rep in range(3):
+        q2 = q2 + 0.01 * rng.randn(*q.shape)
+        t0 = time.perf_counter()
+        out = solver.solve(P, q2, A, l, u, x0=xw, y0=yw)
+        xw = np.asarray(out.x)
+        wtimes.append(time.perf_counter() - t0)
+        yw = np.asarray(out.y)
+    warm_qps = B / min(wtimes)
+    log(f"warm re-solve runs: {['%.3f' % t for t in wtimes]} "
+        f"(iters mean {np.asarray(out.iter).mean():.1f}) -> {warm_qps:.1f} QP/s")
 
     # single-core CPU baseline on a subsample: the faster of the NumPy
     # reference engine and the native C++ sparse-LDL engine (the in-repo
     # OSQP-C-class implementation)
     K = 8
+    np_time = float("inf")
+    for _ in range(2):  # best-of-2: conservative vs host noise
+        sols = []
+        t0 = time.perf_counter()
+        for i in range(K):
+            xn, yn, _, _ = solve_np(P, q[i], A, l[i], u[i],
+                                    eps_abs=1e-3, eps_rel=1e-3)
+            sols.append((xn, yn))
+        np_time = min(np_time, time.perf_counter() - t0)
+    # warm-started CPU baseline (same receding-horizon cycle)
     t0 = time.perf_counter()
     for i in range(K):
-        solve_np(P, q[i], A, l[i], u[i], eps_abs=1e-3, eps_rel=1e-3)
-    np_time = time.perf_counter() - t0
+        solve_np(P, q[i] + 0.01, A, l[i], u[i], eps_abs=1e-3, eps_rel=1e-3,
+                 x0=sols[i][0], y0=sols[i][1])
+    np_warm_time = time.perf_counter() - t0
+    cpu_warm_qps = K / np_warm_time
+    log(f"cpu numpy warm single-core: {cpu_warm_qps:.1f} QP/s")
     log(f"cpu numpy single-core: {K} QPs in {np_time:.2f}s "
         f"-> {K / np_time:.1f} QP/s")
     native_time = None
@@ -109,6 +140,8 @@ def main():
         "value": round(tpu_qps, 1),
         "unit": "QP/s",
         "vs_baseline": round(vs, 2),
+        "warm_resolve_qps": round(warm_qps, 1),
+        "warm_vs_baseline": round(warm_qps / cpu_warm_qps, 2),
     }))
 
 

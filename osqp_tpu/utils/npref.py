@@ -31,8 +31,9 @@ def _limit(v):
 def solve_np(P, q, A, l, u, rho=0.1, sigma=1e-6, alpha=1.6,
              eps_abs=1e-3, eps_rel=1e-3, max_iter=4000,
              check_termination=25, scaling=10, adaptive_rho=True,
-             adaptive_rho_interval=100, adaptive_rho_tolerance=5.0):
-    """Returns (x, y, iters, status_str)."""
+             adaptive_rho_interval=100, adaptive_rho_tolerance=5.0,
+             x0=None, y0=None):
+    """Returns (x, y, iters, status_str). ``x0, y0`` warm-start (unscaled)."""
     P = np.asarray(P, float).copy()
     q = np.asarray(q, float).copy()
     A = np.asarray(A, float).copy()
@@ -83,10 +84,16 @@ def solve_np(P, q, A, l, u, rho=0.1, sigma=1e-6, alpha=1.6,
         return sla.cho_factor(R, lower=True)
 
     F = factor(rho_vec)
-    x = np.zeros(n)
-    y = np.zeros(m)
-    z = np.zeros(m)
     Dinv, Einv, cinv = 1.0 / D, 1.0 / E, 1.0 / c
+    if x0 is not None:
+        x = Dinv * np.asarray(x0, float)
+    else:
+        x = np.zeros(n)
+    if y0 is not None:
+        y = c * Einv * np.asarray(y0, float)
+    else:
+        y = np.zeros(m)
+    z = A @ x if m else np.zeros(0)
 
     def residuals(x, y, z):
         Ax = A @ x if m else np.zeros(0)

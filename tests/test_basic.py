@@ -180,3 +180,21 @@ def test_settings_validation():
         osqp.Settings(linsys_solver="bogus")
     s = osqp.Settings(linsys_solver="mkl pardiso")
     assert s.linsys_solver == osqp.constants.MKL_PARDISO_SOLVER
+
+
+def test_no_retrace_on_resolve_and_updates():
+    # TPU analogue of the reference's zero-allocation re-solve contract
+    # (test/MOI_wrapper.jl:341-342): repeated solves, data updates, and
+    # updatable-settings changes must not re-trace/re-compile the solver.
+    from osqp_tpu.interface import _solve_jit
+    model = make_model()
+    model.solve()
+    misses0 = _solve_jit._cache_size()
+    model.update(q=[1.0, 2.0])
+    model.solve()
+    model.update_settings(eps_abs=1e-6, eps_rel=1e-6, max_iter=500,
+                          check_termination=5, rho=0.4, alpha=1.2)
+    model.solve()
+    model.warm_start(x=np.zeros(2), y=np.zeros(5))
+    model.solve()
+    assert _solve_jit._cache_size() == misses0
