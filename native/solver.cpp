@@ -82,6 +82,9 @@ struct Work {
   bool factored = false;
   // iterates (scaled)
   std::vector<double> xv, yv, zv, xprev, yprev;
+  // polished solution (kept separate so re-solves warm start from the ADMM
+  // iterates, matching the C core's work->pol and the JAX backend)
+  std::vector<double> polx, poly, polz;
   // results
   double pri_res = 0, dua_res = 0, obj = 0, rho_estimate = 0.1;
   idx iter = 0, rho_updates = 0;
@@ -566,7 +569,7 @@ static void polish_solution(Work& w, double admm_pri, double admm_dua) {
     ldl_solve(sym, fac, resid.data());
     for (idx j = 0; j < N; ++j) sol[j] += resid[j];
   }
-  // candidate solution
+  // candidate solution evaluated in place, then the ADMM iterates restored
   std::vector<double> x_old = w.xv, y_old = w.yv, z_old = w.zv;
   for (idx j = 0; j < n; ++j) w.xv[j] = sol[j];
   std::fill(w.yv.begin(), w.yv.end(), 0.0);
@@ -584,12 +587,16 @@ static void polish_solution(Work& w, double admm_pri, double admm_dua) {
     w.pri_res = rp.pri;
     w.dua_res = rp.dua;
     compute_objective(w);
+    w.polx = w.xv;
+    w.poly = w.yv;
+    w.polz = w.zv;
   } else {
     w.status_polish = -1;
-    w.xv = x_old;
-    w.yv = y_old;
-    w.zv = z_old;
   }
+  // warm-start state stays on the ADMM iterates either way
+  w.xv = x_old;
+  w.yv = y_old;
+  w.zv = z_old;
 }
 
 }  // namespace tpuqp
@@ -670,8 +677,10 @@ int64_t tpuqp_solve(void* h, double* x, double* y, double* info,
                     double* prim_cert, double* dual_cert) {
   auto* w = (Work*)h;
   int s = admm_solve(*w);
-  for (idx j = 0; j < w->n; ++j) x[j] = w->D[j] * w->xv[j];
-  for (idx k = 0; k < w->m; ++k) y[k] = w->cinv * w->E[k] * w->yv[k];
+  const std::vector<double>& xs = w->status_polish == 1 ? w->polx : w->xv;
+  const std::vector<double>& ys = w->status_polish == 1 ? w->poly : w->yv;
+  for (idx j = 0; j < w->n; ++j) x[j] = w->D[j] * xs[j];
+  for (idx k = 0; k < w->m; ++k) y[k] = w->cinv * w->E[k] * ys[k];
   info[0] = s;
   info[1] = (double)w->iter;
   info[2] = w->obj;

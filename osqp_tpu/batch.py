@@ -35,9 +35,9 @@ def _batched_polish(data: QPData, dyn, scaling_iters, delta, refine,
     acceptance rule (only lanes that Solved and strictly improved)."""
     sdata, scal = jax.vmap(lambda d: scale_problem(d, scaling_iters))(data)
     pol = jax.vmap(
-        lambda sd, sc, xb, yb, pr, du: _polish_fn(
-            sd, sc, dyn, delta, refine, xb, yb, pr, du)
-    )(sdata, scal, out.xbar, out.ybar, out.pri_res, out.dua_res)
+        lambda sd, sc, yb, pr, du: _polish_fn(
+            sd, sc, dyn, delta, refine, yb, pr, du)
+    )(sdata, scal, out.ybar, out.pri_res, out.dua_res)
     solved = out.status == _C.SOLVED
     ok = pol.success & solved
     okc = ok[:, None]

@@ -314,7 +314,8 @@ def solve_scaled(sdata: QPData, scal: ScalingData, dyn: DynParams,
         x=x0, y=y0, z=z0, x_prev=x0, y_prev=y0, L=fs.L,
         rho_vec=fs.rho_vec, rho_inv=fs.rho_inv,
         rho_bar=jnp.asarray(fs.rho_bar, dtype),
-        it=jnp.int32(0), status=jnp.int32(C.RUNNING),
+        it=jnp.asarray(dyn.start_iter, jnp.int32),
+        status=jnp.int32(C.RUNNING),
         pri_res=inf0, dua_res=inf0,
         rho_estimate=jnp.asarray(fs.rho_bar, dtype),
         rho_updates=jnp.int32(0),
@@ -505,4 +506,5 @@ def dyn_from_settings(settings, dtype) -> DynParams:
         final_approx=i(1),
         cg_tol=f(settings.cg_tol),
         cg_max_iter=i(settings.cg_max_iter),
+        start_iter=i(0),
     )

@@ -145,6 +145,8 @@ class Model:
         self._q_np = q
         self._l_np = np.maximum(l, -C.OSQP_INFTY)
         self._u_np = np.minimum(u, C.OSQP_INFTY)
+        if np.any(self._l_np > self._u_np):
+            raise ValueError("l must be lower than or equal to u")
 
         self._push_data()
         self._reset_start()
@@ -152,6 +154,16 @@ class Model:
         self._setup_time = time.perf_counter() - t0
         self._is_setup = True
         return self
+
+    @staticmethod
+    def _masks_changed(l_old, u_old, l_new, u_new) -> bool:
+        def masks(lb, ub):
+            loose = (lb <= -C.INFTY_THRESH) & (ub >= C.INFTY_THRESH)
+            eq = (~loose) & (ub - lb < C.RHO_TOL)
+            return loose, eq
+        lo, eo = masks(l_old, u_old)
+        ln, en = masks(l_new, u_new)
+        return bool(np.any(lo != ln) or np.any(eo != en))
 
     def _dense_P(self) -> np.ndarray:
         return symmetric_from_triu(self._P_pat.to_dense())
@@ -226,7 +238,7 @@ class Model:
                 self._sdata, self._scal, dyn,
                 jnp.asarray(s.delta, self._dtype),
                 jnp.int32(s.polish_refine_iter),
-                out.xbar, out.ybar, out.pri_res, out.dua_res)
+                out.ybar, out.pri_res, out.dua_res)
             jax.block_until_ready(pol.x)
             polish_time = time.perf_counter() - tp
             status_polish = 1 if bool(pol.success) else -1
@@ -290,26 +302,30 @@ class Model:
         chunk = max(10, min(int(chunk), 1000))
         start = time.perf_counter()
         total = 0
+        rho_updates = 0
         fs = self._fs
         out = None
-        remaining = s.max_iter
         try:
             while True:
-                this_chunk = min(chunk, remaining)
-                is_final = this_chunk == remaining
+                this_chunk = min(chunk, s.max_iter - total)
+                is_final = total + this_chunk >= s.max_iter
+                # the iteration counter is GLOBAL across chunks so the
+                # check_termination / adaptive_rho_interval cadence matches
+                # an unchunked solve
                 dyn_c = dyn._replace(
-                    max_iter=jnp.int32(this_chunk),
+                    start_iter=jnp.int32(total),
+                    max_iter=jnp.int32(total + this_chunk),
                     final_approx=jnp.int32(1 if is_final else 0))
                 out, fs = _solve_jit(self._sdata, self._scal, dyn_c, x0, y0,
                                      z0, fs, linsys=self._linsys)
                 jax.block_until_ready(out.x)
-                total += int(out.iter)
-                remaining -= int(out.iter)
+                total = int(out.iter)
+                rho_updates += int(out.rho_updates)
                 status_val = int(out.status)
                 timed_out = (time.perf_counter() - start) > s.time_limit
                 if status_val not in (C.MAX_ITER_REACHED, C.RUNNING):
                     break
-                if remaining <= 0:
+                if total >= s.max_iter:
                     break
                 if timed_out:
                     status_val = C.TIME_LIMIT_REACHED
@@ -321,7 +337,8 @@ class Model:
             if out is None:
                 raise
             status_val = C.INTERRUPTED
-        out = out._replace(iter=jnp.int32(total))
+        out = out._replace(iter=jnp.int32(total),
+                           rho_updates=jnp.int32(rho_updates))
         return out, fs, status_val
 
     # ----------------------------------------------------------------- update
@@ -355,9 +372,14 @@ class Model:
         if (l is not None) or (u is not None):
             if np.any(new_l > new_u):
                 raise ValueError("l must be lower than or equal to u")
+            # refactorize only if a row's loose/ineq/eq classification flips
+            # (C core update_rho_vec semantics; classification is on SCALED
+            # bounds)
+            E = np.asarray(self._scal.E, dtype=np.float64)
+            rho_refresh = self._masks_changed(E * self._l_np, E * self._u_np,
+                                              E * new_l, E * new_u)
             self._l_np = new_l
             self._u_np = new_u
-            rho_refresh = True
 
         if Px is not None:
             self._P_pat.update_values(Px, Px_idx, name="P")

@@ -125,6 +125,10 @@ class NativeModel:
         self._A_pat = csc_from_matrix(A, triu=False)
         self._l_np = np.asarray(l, float).copy()
         self._u_np = np.asarray(u, float).copy()
+        if np.any(np.maximum(self._l_np, -C.OSQP_INFTY)
+                  > np.minimum(self._u_np, C.OSQP_INFTY)):
+            raise ValueError("l must be lower than or equal to u")
+        self._warm = bool(settings.get("warm_start", True))
         self._settings = dict(settings)
         settings.pop("verbose", None)
         settings.pop("warm_start", None)
@@ -155,6 +159,9 @@ class NativeModel:
     def solve(self) -> Results:
         self._check()
         import time as _time
+        if not self._warm:
+            # cold start (reference warm_start=False semantics): zero x, y, z
+            self._lib.tpuqp_warm_start(self._h, None, None)
         t0 = _time.perf_counter()
         x = np.zeros(self.n)
         y = np.zeros(self.m)
@@ -247,10 +254,6 @@ class NativeModel:
 
     def warm_start(self, x=None, y=None):
         self._check()
-        xp = (np.ascontiguousarray(x, np.float64).ctypes.data_as(ctypes.c_void_p)
-              if x is not None else None)
-        yp = (np.ascontiguousarray(y, np.float64).ctypes.data_as(ctypes.c_void_p)
-              if y is not None else None)
         xa = np.ascontiguousarray(x, np.float64) if x is not None else None
         ya = np.ascontiguousarray(y, np.float64) if y is not None else None
         self._lib.tpuqp_warm_start(

@@ -44,9 +44,10 @@ class PolishOutput(NamedTuple):
 
 @with_precision
 def polish(sdata: QPData, scal: ScalingData, dyn: DynParams,
-           delta, refine_iters, xbar, ybar,
+           delta, refine_iters, ybar,
            admm_pri_res, admm_dua_res) -> PolishOutput:
-    """Polish the (scaled) ADMM solution ``xbar, ybar``."""
+    """Polish the (scaled) ADMM solution; the active set is guessed from the
+    sign of the dual iterate ``ybar``."""
     P, q, A, l, u = sdata
     dtype = P.dtype
     n = P.shape[0]

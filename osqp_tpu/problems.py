@@ -51,13 +51,7 @@ def control_qp(nx=8, nu=4, T=10, seed=0):
 
     n = T * (nx + nu)
 
-    def xi(t):  # state block t = 1..T
-        return slice((t - 1) * (nx + nu), (t - 1) * (nx + nu) + nx)
-
-    def ui(t):  # input block t = 0..T-1
-        return slice((t) * (nx + nu) - nu if t > 0 else nx + 0, 0)
-
-    # simpler layout: z = [u_0, x_1, u_1, x_2, ..., u_{T-1}, x_T]
+    # layout: z = [u_0, x_1, u_1, x_2, ..., u_{T-1}, x_T]
     idx_u = [t * (nu + nx) for t in range(T)]
     idx_x = [t * (nu + nx) + nu for t in range(T)]
 

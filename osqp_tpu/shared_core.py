@@ -430,6 +430,9 @@ def solve_batch_shared_fixed(P, A, qb, lb, ub, scal: SharedScaling,
     status_acc, res = shared_check(P, A, qb, lb, ub, scal, dyn, x, y, z,
                                    dx, dy, jnp.asarray(1.0, dtype),
                                    accurate=True)
+    # with check_termination == 0 no engine ever declares Solved (the
+    # reference runs exactly max_iter); match the other engines
+    status_acc = jnp.where(dyn.check_termination > 0, status_acc, C.RUNNING)
     hit_max = status_acc == C.RUNNING
     approx_status, approx_res = shared_check(
         P, A, qb, lb, ub, scal, dyn, x, y, z, dx, dy,

@@ -102,8 +102,12 @@ class SparseModel:
             raise ValueError("SparseModel requires scipy.sparse P and A")
         n = P.shape[0]
         m = A.shape[0]
-        Pc = _sp.coo_matrix(_sp.csc_matrix(P))
-        # symmetrize from upper triangle convention: accept full symmetric
+        # accept either full-symmetric P or its upper triangle (the reference
+        # triu convention, interface.jl:101-104): rebuild full symmetric from
+        # the upper triangle
+        Pu = _sp.triu(_sp.csc_matrix(P))
+        Psym = (Pu + Pu.T - _sp.diags(Pu.diagonal())).tocsc()
+        Pc = _sp.coo_matrix(Psym)
         Ac = _sp.coo_matrix(_sp.csc_matrix(A))
         self._P_op = sparse_op_from_coo(Pc.row, Pc.col, Pc.data, (n, n),
                                         dtype)
@@ -111,9 +115,13 @@ class SparseModel:
                                         dtype)
         self.n, self.m = int(n), int(m)
         self._dtype = dtype
+        l = np.asarray(l, float)
+        u = np.asarray(u, float)
+        if np.any(np.maximum(l, -C.OSQP_INFTY) > np.minimum(u, C.OSQP_INFTY)):
+            raise ValueError("l must be lower than or equal to u")
         self._q = jnp.asarray(np.asarray(q, float), dtype)
-        self._l = jnp.asarray(np.asarray(l, float), dtype)
-        self._u = jnp.asarray(np.asarray(u, float), dtype)
+        self._l = jnp.asarray(l, dtype)
+        self._u = jnp.asarray(u, dtype)
         self._x0 = jnp.zeros((n,), dtype)
         self._y0 = jnp.zeros((m,), dtype)
         self._is_setup = True

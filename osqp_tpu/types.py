@@ -71,6 +71,9 @@ class DynParams(NamedTuple):
                               # intermediate chunks of the time-limit driver)
     cg_tol: Any               # indirect (CG) KKT solve: relative tolerance
     cg_max_iter: Any          # indirect KKT solve: iteration cap (int32)
+    start_iter: Any = 0       # int32 global iteration offset (chunked
+                              # time-limit driver: keeps check/rho cadence
+                              # aligned across chunks)
 
 
 class SolveOutput(NamedTuple):

@@ -178,3 +178,29 @@ def test_native_one_sided_bound_update():
              eps_abs=1e-6, eps_rel=1e-6)
     rj = jm.solve()
     np.testing.assert_allclose(r.x, rj.x, atol=TOL)
+
+
+def test_native_cold_start_setting():
+    # regression: warm_start=False must cold-start every solve
+    P, q, A, l, u = make_problem(seed=13)
+    kw = dict(eps_abs=1e-6, eps_rel=1e-6, adaptive_rho=False,
+              check_termination=1, warm_start=False)
+    nm = NativeModel().setup(P=P, q=q, A=A, l=l, u=u, **kw)
+    r1 = nm.solve()
+    r2 = nm.solve()
+    assert r1.info.iter == r2.info.iter  # identical cold trajectories
+
+
+def test_native_polish_keeps_admm_warm_start():
+    # regression: polish must not overwrite the warm-start iterates
+    P, q, A, l, u = make_problem(seed=14)
+    kw = dict(eps_abs=1e-4, eps_rel=1e-4, adaptive_rho=False,
+              check_termination=1)
+    a = NativeModel().setup(P=P, q=q, A=A, l=l, u=u, polish=True, **kw)
+    a.solve()
+    ra = a.solve()
+    b = NativeModel().setup(P=P, q=q, A=A, l=l, u=u, polish=False, **kw)
+    b.solve()
+    rb = b.solve()
+    # second-solve trajectories must match the unpolished model's
+    assert ra.info.iter == rb.info.iter

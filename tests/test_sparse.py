@@ -77,3 +77,19 @@ def test_sparse_rejects_polish():
     P, q, A, l, u = make_sparse_problem()
     with pytest.raises(ValueError):
         SparseModel().setup(P=P, q=q, A=A, l=l, u=u, polish=True)
+
+
+def test_sparse_accepts_triu_P():
+    # regression: triu-P input convention must be symmetrized
+    P = np.array([[2.0, 1.0], [1.0, 2.0]])
+    q = np.array([1.0, 1.0])
+    A = np.eye(2)
+    l = -np.ones(2)
+    u = np.ones(2)
+    kw = dict(verbose=False, eps_abs=1e-8, eps_rel=1e-8)
+    r_triu = SparseModel().setup(P=sp.csc_matrix(sp.triu(P)), q=q,
+                                 A=sp.csc_matrix(A), l=l, u=u, **kw).solve()
+    r_full = SparseModel().setup(P=sp.csc_matrix(P), q=q,
+                                 A=sp.csc_matrix(A), l=l, u=u, **kw).solve()
+    np.testing.assert_allclose(r_triu.x, [-1 / 3, -1 / 3], atol=1e-5)
+    np.testing.assert_allclose(r_triu.x, r_full.x, atol=1e-8)

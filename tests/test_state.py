@@ -62,3 +62,36 @@ def test_modeling_delete_constraint():
     p.delete_constraint(c)
     p.optimize()
     assert abs(p.value(x) - 2.0) < 1e-5  # unconstrained optimum q/P = 4/2
+
+
+def test_time_limit_driver_preserves_rho_cadence():
+    # regression: the chunked time-limit driver must keep the GLOBAL iteration
+    # counter so adaptive rho (interval 100 > chunk 25) still fires
+    from osqp_tpu.problems import random_qp
+    P, q, A, l, u = random_qp(n=30, m=60, seed=3)
+    kw = dict(verbose=False, rho=1e-4, adaptive_rho=True,
+              adaptive_rho_interval=100)
+    m1 = osqp.Model()
+    m1.setup(P=P, q=q, A=A, l=l, u=u, **kw)
+    r1 = m1.solve()
+    m2 = osqp.Model()
+    m2.setup(P=P, q=q, A=A, l=l, u=u, time_limit=30.0, **kw)
+    r2 = m2.solve()
+    assert r1.info.status == r2.info.status == "Solved"
+    assert r2.info.rho_updates == r1.info.rho_updates >= 1
+    assert r2.info.iter == r1.info.iter
+
+
+def test_setup_rejects_crossing_bounds():
+    # reference C core errors at setup for l > u
+    import pytest as _pytest
+    P = np.eye(2)
+    q = np.zeros(2)
+    A = np.eye(2)
+    with _pytest.raises(ValueError):
+        osqp.Model().setup(P=P, q=q, A=A, l=np.array([1.0, 1.0]),
+                           u=np.array([-1.0, 2.0]))
+    from osqp_tpu.native import NativeModel
+    with _pytest.raises(ValueError):
+        NativeModel().setup(P=P, q=q, A=A, l=np.array([1.0, 1.0]),
+                            u=np.array([-1.0, 2.0]))
