@@ -20,6 +20,8 @@ from . import constants as C
 from .core import dyn_from_settings, init_factor, solve_scaled
 from .scaling import _limit_scaling
 from .settings import Settings
+from .padded_sparse import (PaddedOp, padded_col_max_abs, padded_op_from_coo,
+                            padded_row_max_abs, scale_padded_op)
 from .sparse_ops import (SparseOp, col_max_abs, row_max_abs, scale_sparse_op,
                          sparse_op_from_coo)
 from .types import Info, QPData, Results, ScalingData
@@ -28,6 +30,24 @@ try:
     import scipy.sparse as _sp
 except Exception:  # pragma: no cover
     _sp = None
+
+
+def _col_norms(op, n):
+    if isinstance(op, PaddedOp):
+        return padded_col_max_abs(op)
+    return col_max_abs(op, n)
+
+
+def _row_norms(op, m):
+    if isinstance(op, PaddedOp):
+        return padded_row_max_abs(op)
+    return row_max_abs(op, m)
+
+
+def _scale_op(op, row_scale, col_scale, extra=1.0):
+    if isinstance(op, PaddedOp):
+        return scale_padded_op(op, row_scale, col_scale, extra)
+    return scale_sparse_op(op, row_scale, col_scale, extra)
 
 
 def sparse_ruiz(P: SparseOp, q, A: SparseOp, l, u, n_iters):
@@ -40,22 +60,22 @@ def sparse_ruiz(P: SparseOp, q, A: SparseOp, l, u, n_iters):
 
     def body(_, carry):
         P, q, A, l, u, D, E, c = carry
-        p_col = col_max_abs(P, n)
-        a_col = col_max_abs(A, n) if m else jnp.zeros((n,), dtype)
+        p_col = _col_norms(P, n)
+        a_col = _col_norms(A, n) if m else jnp.zeros((n,), dtype)
         dd = 1.0 / jnp.sqrt(_limit_scaling(jnp.maximum(p_col, a_col)))
-        de = (1.0 / jnp.sqrt(_limit_scaling(row_max_abs(A, m)))
+        de = (1.0 / jnp.sqrt(_limit_scaling(_row_norms(A, m)))
               if m else jnp.zeros((0,), dtype))
-        P = scale_sparse_op(P, dd, dd)
-        A = scale_sparse_op(A, de, dd)
+        P = _scale_op(P, dd, dd)
+        A = _scale_op(A, de, dd)
         q = dd * q
         l = de * l
         u = de * u
         D = D * dd
         E = E * de
         gamma = 1.0 / _limit_scaling(
-            jnp.maximum(jnp.mean(col_max_abs(P, n)), jnp.max(jnp.abs(q))))
-        P = scale_sparse_op(P, jnp.ones((n,), dtype), jnp.ones((n,), dtype),
-                            extra=gamma)
+            jnp.maximum(jnp.mean(_col_norms(P, n)), jnp.max(jnp.abs(q))))
+        P = _scale_op(P, jnp.ones((n,), dtype), jnp.ones((n,), dtype),
+                      extra=gamma)
         q = gamma * q
         return P, q, A, l, u, D, E, c * gamma
 
@@ -93,6 +113,15 @@ class SparseModel:
         self._is_setup = False
 
     def setup(self, P=None, q=None, A=None, l=None, u=None, **settings):
+        fmt = settings.pop("sparse_format", "auto")
+        if fmt == "auto":
+            # ELL/padded gathers suit the TPU; BCOO's segment ops are faster
+            # on CPU (measured: PERFORMANCE.md)
+            fmt = ("padded" if jax.default_backend() in ("tpu", "axon")
+                   else "bcoo")
+        if fmt not in ("padded", "bcoo"):
+            raise ValueError("sparse_format must be 'auto', 'padded' or "
+                             "'bcoo'")
         self.settings = Settings.from_kwargs(**settings)
         if self.settings.polish:
             raise ValueError("polish is not supported on the sparse "
@@ -109,10 +138,10 @@ class SparseModel:
         Psym = (Pu + Pu.T - _sp.diags(Pu.diagonal())).tocsc()
         Pc = _sp.coo_matrix(Psym)
         Ac = _sp.coo_matrix(_sp.csc_matrix(A))
-        self._P_op = sparse_op_from_coo(Pc.row, Pc.col, Pc.data, (n, n),
-                                        dtype)
-        self._A_op = sparse_op_from_coo(Ac.row, Ac.col, Ac.data, (m, n),
-                                        dtype)
+        make = (padded_op_from_coo if fmt == "padded"
+                else sparse_op_from_coo)
+        self._P_op = make(Pc.row, Pc.col, Pc.data, (n, n), dtype)
+        self._A_op = make(Ac.row, Ac.col, Ac.data, (m, n), dtype)
         self.n, self.m = int(n), int(m)
         self._dtype = dtype
         l = np.asarray(l, float)

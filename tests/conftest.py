@@ -12,19 +12,24 @@ jax.config.update (effective until first backend initialization), not env vars.
 
 import os
 
+#: Set TPUQP_TEST_PLATFORM=tpu (or axon) to run the suite on the real chip —
+#: the float64 hardware-conformance configuration. Default: 8-device CPU.
+_platform = os.environ.get("TPUQP_TEST_PLATFORM", "cpu")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-try:
-    jax.config.update("jax_num_cpu_devices", 8)
-except Exception:
-    pass  # older jax: XLA_FLAGS above covers it
+if _platform == "cpu":
+    # NOTE: the env var JAX_PLATFORMS is overridden by the TPU plugin on this
+    # host; jax.config.update is the only reliable override.
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_num_cpu_devices", 8)
+    except Exception:
+        pass  # older jax: XLA_FLAGS above covers it
+    assert not jax.config.jax_platforms or "cpu" in jax.config.jax_platforms
 jax.config.update("jax_enable_x64", True)
-
-assert not jax.config.jax_platforms or "cpu" in jax.config.jax_platforms

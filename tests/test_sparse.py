@@ -93,3 +93,15 @@ def test_sparse_accepts_triu_P():
                                  A=sp.csc_matrix(A), l=l, u=u, **kw).solve()
     np.testing.assert_allclose(r_triu.x, [-1 / 3, -1 / 3], atol=1e-5)
     np.testing.assert_allclose(r_triu.x, r_full.x, atol=1e-8)
+
+
+def test_padded_format_matches_bcoo():
+    P, q, A, l, u = make_sparse_problem(seed=5)
+    kw = dict(verbose=False, eps_abs=1e-6, eps_rel=1e-6)
+    rp = SparseModel().setup(P=P, q=q, A=A, l=l, u=u,
+                             sparse_format="padded", **kw).solve()
+    rb = SparseModel().setup(P=P, q=q, A=A, l=l, u=u,
+                             sparse_format="bcoo", **kw).solve()
+    assert rp.info.status == rb.info.status == "Solved"
+    assert rp.info.iter == rb.info.iter
+    np.testing.assert_allclose(rp.x, rb.x, atol=1e-8)
