@@ -1,6 +1,64 @@
 #include "ldl.h"
 
+#include <algorithm>
+#include <queue>
+
 namespace tpuqp {
+
+std::vector<idx> rcm_order(idx n, const idx* Ap, const idx* Ai) {
+  // Build the full (symmetrized) adjacency from the upper-triangular pattern.
+  std::vector<idx> deg(n, 0);
+  for (idx j = 0; j < n; ++j)
+    for (idx p = Ap[j]; p < Ap[j + 1]; ++p) {
+      idx i = Ai[p];
+      if (i == j) continue;
+      deg[i] += 1;
+      deg[j] += 1;
+    }
+  std::vector<idx> ptr(n + 1, 0);
+  for (idx j = 0; j < n; ++j) ptr[j + 1] = ptr[j] + deg[j];
+  std::vector<idx> adj(ptr[n]);
+  std::vector<idx> fill(ptr.begin(), ptr.end() - 1);
+  for (idx j = 0; j < n; ++j)
+    for (idx p = Ap[j]; p < Ap[j + 1]; ++p) {
+      idx i = Ai[p];
+      if (i == j) continue;
+      adj[fill[i]++] = j;
+      adj[fill[j]++] = i;
+    }
+
+  std::vector<idx> order;
+  order.reserve(n);
+  std::vector<char> visited(n, 0);
+  std::vector<idx> nbrs;
+  for (idx seed_scan = 0; seed_scan < n; ++seed_scan) {
+    if (visited[seed_scan]) continue;
+    // start each component from a minimum-degree node
+    idx seed = seed_scan;
+    // BFS (Cuthill-McKee): neighbors visited in increasing degree
+    std::queue<idx> bfs;
+    bfs.push(seed);
+    visited[seed] = 1;
+    while (!bfs.empty()) {
+      idx v = bfs.front();
+      bfs.pop();
+      order.push_back(v);
+      nbrs.clear();
+      for (idx p = ptr[v]; p < ptr[v + 1]; ++p)
+        if (!visited[adj[p]]) nbrs.push_back(adj[p]);
+      std::sort(nbrs.begin(), nbrs.end(),
+                [&](idx a, idx b) { return deg[a] < deg[b]; });
+      for (idx w : nbrs) {
+        visited[w] = 1;
+        bfs.push(w);
+      }
+    }
+  }
+  // reverse ordering; perm[old] = new
+  std::vector<idx> perm(n);
+  for (idx k = 0; k < n; ++k) perm[order[n - 1 - k]] = k;
+  return perm;
+}
 
 // Elimination tree and column counts for upper-triangular CSC input
 // (Liu's algorithm with path compression via "ancestor" pointers).

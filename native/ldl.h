@@ -46,4 +46,10 @@ bool ldl_numeric(idx n, const idx* Ap, const idx* Ai, const double* Ax,
 // In-place solve A x = b given the factor.
 void ldl_solve(const LDLSymbolic& S, const LDLFactor& F, double* x);
 
+// Reverse Cuthill-McKee ordering of a symmetric pattern given in
+// upper-triangular CSC form. Returns perm with new_index = perm[old_index].
+// A bandwidth-reducing (hence fill-reducing) ordering for the KKT system —
+// not as strong as AMD, but simple and effective on banded/structured QPs.
+std::vector<idx> rcm_order(idx n, const idx* Ap, const idx* Ai);
+
 }  // namespace tpuqp

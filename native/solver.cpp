@@ -53,6 +53,9 @@ struct CSC {  // column-compressed
   std::vector<double> x;
 };
 
+static void build_permuted(const CSC& K, const std::vector<idx>& perm,
+                           CSC& Kp, std::vector<idx>& kmap);
+
 static double norm_inf(const std::vector<double>& v) {
   double r = 0.0;
   for (double a : v) r = std::max(r, std::fabs(a));
@@ -77,6 +80,11 @@ struct Work {
   std::vector<idx> kAt;   // At nnz -> K nnz index
   std::vector<idx> kSig;  // n diagonal positions (P+sigma)
   std::vector<idx> kRho;  // m diagonal positions (-1/rho)
+  // fill-reducing (RCM) permutation of the KKT: factor K[perm,perm]
+  std::vector<idx> perm;
+  CSC Kp;                  // permuted upper-triangular pattern
+  std::vector<idx> kmap;   // K nnz -> Kp nnz value map
+  std::vector<double> prhs;  // permutation scratch
   LDLSymbolic sym;
   LDLFactor fac;
   bool factored = false;
@@ -262,7 +270,9 @@ static void assemble_kkt(Work& w) {
     w.K.x.push_back(0.0);
     w.K.p[n + k + 1] = (idx)w.K.i.size();
   }
-  ldl_symbolic(N, w.K.p.data(), w.K.i.data(), w.sym);
+  w.perm = rcm_order(N, w.K.p.data(), w.K.i.data());
+  build_permuted(w.K, w.perm, w.Kp, w.kmap);
+  ldl_symbolic(N, w.Kp.p.data(), w.Kp.i.data(), w.sym);
 }
 
 static void refresh_kkt_values(Work& w) {
@@ -273,15 +283,51 @@ static void refresh_kkt_values(Work& w) {
   for (idx k = 0; k < w.m; ++k) w.K.x[w.kRho[k]] = -w.rho_inv_vec[k];
 }
 
+// Build Kp = K[perm,perm] (upper CSC) and the nnz value map.
+static void build_permuted(const CSC& K, const std::vector<idx>& perm,
+                           CSC& Kp, std::vector<idx>& kmap) {
+  const idx N = K.cols;
+  Kp.rows = Kp.cols = N;
+  Kp.p.assign(N + 1, 0);
+  kmap.assign(K.i.size(), 0);
+  for (idx j = 0; j < N; ++j)
+    for (idx p = K.p[j]; p < K.p[j + 1]; ++p) {
+      idx c = std::max(perm[K.i[p]], perm[j]);
+      Kp.p[c + 1] += 1;
+    }
+  for (idx c = 0; c < N; ++c) Kp.p[c + 1] += Kp.p[c];
+  Kp.i.assign(K.i.size(), 0);
+  Kp.x.assign(K.i.size(), 0.0);
+  std::vector<idx> cur(Kp.p.begin(), Kp.p.end() - 1);
+  for (idx j = 0; j < N; ++j)
+    for (idx p = K.p[j]; p < K.p[j + 1]; ++p) {
+      idx r = std::min(perm[K.i[p]], perm[j]);
+      idx c = std::max(perm[K.i[p]], perm[j]);
+      idx pos = cur[c]++;
+      Kp.i[pos] = r;
+      kmap[p] = pos;
+    }
+}
+
 // returns false on factorization failure or wrong inertia (non-convex)
 static bool factor_kkt(Work& w) {
   refresh_kkt_values(w);
-  if (!ldl_numeric(w.K.rows, w.K.p.data(), w.K.i.data(), w.K.x.data(),
+  for (idx p = 0; p < (idx)w.K.x.size(); ++p) w.Kp.x[w.kmap[p]] = w.K.x[p];
+  if (!ldl_numeric(w.Kp.rows, w.Kp.p.data(), w.Kp.i.data(), w.Kp.x.data(),
                    w.sym, w.fac))
     return false;
   if (w.fac.num_pos != w.n) return false;  // quasi-definite inertia check
   w.factored = true;
   return true;
+}
+
+// Solve K x = b through the permuted factor (b overwritten).
+static void kkt_solve(Work& w, double* b) {
+  const idx N = w.Kp.rows;
+  w.prhs.resize(N);
+  for (idx i = 0; i < N; ++i) w.prhs[w.perm[i]] = b[i];
+  ldl_solve(w.sym, w.fac, w.prhs.data());
+  for (idx i = 0; i < N; ++i) b[i] = w.prhs[w.perm[i]];
 }
 
 struct Residuals {
@@ -419,7 +465,7 @@ static int admm_solve(Work& w) {
     for (idx j = 0; j < n; ++j) rhs[j] = w.st.sigma * w.xv[j] - w.q[j];
     for (idx k = 0; k < m; ++k)
       rhs[n + k] = w.zv[k] - w.rho_inv_vec[k] * w.yv[k];
-    ldl_solve(w.sym, w.fac, rhs.data());
+    kkt_solve(w, rhs.data());
     for (idx j = 0; j < n; ++j) xt[j] = rhs[j];
     for (idx k = 0; k < m; ++k)
       zt[k] = w.zv[k] + w.rho_inv_vec[k] * (rhs[n + k] - w.yv[k]);
