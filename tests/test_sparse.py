@@ -105,3 +105,28 @@ def test_padded_format_matches_bcoo():
     assert rp.info.status == rb.info.status == "Solved"
     assert rp.info.iter == rb.info.iter
     np.testing.assert_allclose(rp.x, rb.x, atol=1e-8)
+
+
+def test_sparse_very_large():
+    # BASELINE config #4 scale check (n ~ 1e5 runs in scripts; n=5e4 here to
+    # keep suite time bounded). Generate COO directly — scipy.sparse.random
+    # is pathologically slow at this size.
+    rng = np.random.RandomState(0)
+    n, m = 50_000, 75_000
+    nnz = 250_000
+    rows = rng.randint(0, m, nnz)
+    cols = rng.randint(0, n, nnz)
+    vals = rng.randn(nnz)
+    A = (sp.coo_matrix((vals, (rows, cols)), shape=(m, n)).tocsc()
+         + sp.eye(m, n)).tocsc()
+    P = sp.diags(0.5 + rng.rand(n)).tocsc()
+    q = rng.randn(n)
+    l = -1 - rng.rand(m)
+    u = 1 + rng.rand(m)
+    sm = SparseModel().setup(P=P, q=q, A=A, l=l, u=u, verbose=False,
+                             eps_abs=1e-3, eps_rel=1e-3, dtype=np.float32)
+    r = sm.solve()
+    assert r.info.status == "Solved"
+    Ax = A @ r.x
+    viol = max(np.max(Ax - u, initial=0), np.max(l - Ax, initial=0))
+    assert viol < 5e-3
