@@ -107,10 +107,18 @@ class SparseModel:
 
     API-compatible subset of :class:`osqp_tpu.Model`: setup / solve /
     warm_start / update (q, l, u — value updates of P/A rebuild operators).
-    Polish is not available on this path (no factorization exists)."""
+    Polish is not available on this path (no factorization exists).
 
-    def __init__(self):
+    With ``mesh`` given, the operators and constraint-dimension vectors are
+    row-sharded over the mesh's first axis — the "sequence-parallel" scaling
+    of the constraint dimension (SURVEY.md §5): matvec partials stay local,
+    reductions lower to collectives over ICI. Requires padded format and m
+    divisible by the mesh size."""
+
+    def __init__(self, mesh=None, axis_name: str = "r"):
         self._is_setup = False
+        self._mesh = mesh
+        self._axis = axis_name
 
     def setup(self, P=None, q=None, A=None, l=None, u=None, **settings):
         fmt = settings.pop("sparse_format", "auto")
@@ -138,10 +146,33 @@ class SparseModel:
         Psym = (Pu + Pu.T - _sp.diags(Pu.diagonal())).tocsc()
         Pc = _sp.coo_matrix(Psym)
         Ac = _sp.coo_matrix(_sp.csc_matrix(A))
+        if self._mesh is not None and fmt != "padded":
+            raise ValueError("mesh sharding requires sparse_format='padded'")
         make = (padded_op_from_coo if fmt == "padded"
                 else sparse_op_from_coo)
         self._P_op = make(Pc.row, Pc.col, Pc.data, (n, n), dtype)
         self._A_op = make(Ac.row, Ac.col, Ac.data, (m, n), dtype)
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as _P
+            if m % self._mesh.devices.size != 0:
+                raise ValueError(
+                    f"m={m} must be divisible by the mesh size "
+                    f"{self._mesh.devices.size}")
+            rowmat = NamedSharding(self._mesh, _P(self._axis, None))
+            rep = NamedSharding(self._mesh, _P())
+            shard = lambda op: PaddedOp(
+                jax.device_put(op.vals, rowmat),
+                jax.device_put(op.cols, rowmat),
+                jax.device_put(op.tvals, rowmat),
+                jax.device_put(op.tcols, rowmat),
+                op.shape,
+                sq_tvals=jax.device_put(op.sq_tvals, rowmat),
+                diag=(jax.device_put(op.diag, rep)
+                      if op.diag is not None else None))
+            self._A_op = shard(self._A_op)
+            self._P_op = shard(self._P_op)
+            self._row_sharding = NamedSharding(self._mesh, _P(self._axis))
+            self._rep_sharding = rep
         self.n, self.m = int(n), int(m)
         self._dtype = dtype
         l = np.asarray(l, float)
@@ -153,6 +184,12 @@ class SparseModel:
         self._u = jnp.asarray(u, dtype)
         self._x0 = jnp.zeros((n,), dtype)
         self._y0 = jnp.zeros((m,), dtype)
+        if self._mesh is not None:
+            self._q = jax.device_put(self._q, self._rep_sharding)
+            self._l = jax.device_put(self._l, self._row_sharding)
+            self._u = jax.device_put(self._u, self._row_sharding)
+            self._x0 = jax.device_put(self._x0, self._rep_sharding)
+            self._y0 = jax.device_put(self._y0, self._row_sharding)
         self._is_setup = True
         return self
 

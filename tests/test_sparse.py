@@ -130,3 +130,18 @@ def test_sparse_very_large():
     Ax = A @ r.x
     viol = max(np.max(Ax - u, initial=0), np.max(l - Ax, initial=0))
     assert viol < 5e-3
+
+
+def test_sparse_row_sharded_over_mesh():
+    import jax
+    from jax.sharding import Mesh
+    mesh = Mesh(np.array(jax.devices()), ("r",))
+    P, q, A, l, u = make_sparse_problem(n=64, m=128, seed=9)
+    kw = dict(verbose=False, eps_abs=1e-5, eps_rel=1e-5,
+              sparse_format="padded")
+    r_sh = SparseModel(mesh=mesh).setup(P=P, q=q, A=A, l=l, u=u,
+                                        **kw).solve()
+    r_ref = SparseModel().setup(P=P, q=q, A=A, l=l, u=u, **kw).solve()
+    assert r_sh.info.status == r_ref.info.status == "Solved"
+    assert r_sh.info.iter == r_ref.info.iter
+    np.testing.assert_allclose(r_sh.x, r_ref.x, atol=1e-5)
