@@ -174,3 +174,49 @@ def test_warm_start_plumbing():
         p2.set_dual_start(c, d)
     r = p2.optimize()
     assert r.info.iter <= 10
+
+
+def test_vector_equality_least_squares():
+    # port of reference test/MOI_wrapper.jl:694-789: min ||Ax-b||^2 s.t. Cx=d
+    # with the pinv-computed analytic solution as oracle, re-solved through
+    # 10 rounds of objective + constraint-function replacement
+    rng = np.random.RandomState(1234)
+    n, m = 8, 2
+
+    def gen():
+        A = rng.rand(n, n)
+        b = rng.rand(n)
+        C = rng.rand(m, n)
+        d = rng.rand(m)
+        Cp = np.linalg.pinv(C)
+        Q = np.eye(n) - Cp @ C
+        expected = Q @ (np.linalg.pinv(A @ Q) @ (b - A @ Cp @ d)) + Cp @ d
+        assert np.allclose(C @ expected, d, atol=1e-10)
+        P = 2.0 * A.T @ A            # 0.5 x'Px = x'A'Ax
+        q = -2.0 * A.T @ b
+        r = float(b @ b)
+        return A, b, C, d, P, q, r, expected
+
+    A, b, C, d, P, q, r, expected = gen()
+    p = Problem(verbose=False, eps_abs=1e-8, eps_rel=1e-8, polish=True,
+                max_iter=20000)
+    xs = p.add_variables(n)
+    p.set_objective(quadratic=P, affine=q, constant=r)
+    cons = [p.add_constraint(C[i], lb=d[i], ub=d[i]) for i in range(m)]
+    p.optimize()
+
+    def check(A, b, expected):
+        assert p.termination_status() == "OPTIMAL"
+        np.testing.assert_allclose(p.values(), expected, atol=1e-4)
+        assert abs(p.objective_value()
+                   - np.linalg.norm(A @ expected - b) ** 2) < 1e-4
+
+    check(A, b, expected)
+    for _ in range(10):
+        A, b, C, d, P, q, r, expected = gen()
+        p.set_objective(quadratic=P, affine=q, constant=r)
+        for i in range(m):
+            p.set_constraint_function(cons[i], C[i])
+            p.set_constraint_bounds(cons[i], d[i], d[i])
+        p.optimize()
+        check(A, b, expected)
