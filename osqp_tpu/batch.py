@@ -130,12 +130,55 @@ class BatchedSolver:
                     "kkt_mode='shared' requires one shared P (n,n) and "
                     "A (m,n) for the whole batch")
             interpret = jax.default_backend() not in ("tpu", "axon")
-            group = 128
-            while B % group != 0:
-                group //= 2
-            out = self._shared_jit(Pm, A, q, l, u, dyn,
-                                   jnp.int32(s.scaling), x0, y0,
-                                   group, interpret, bool(s.adaptive_rho))
+            if self.mesh is not None:
+                # multi-chip shared mode: shard_map over the batch axis —
+                # every device runs the full shared pipeline on its local
+                # lanes (P/A replicated). Requires fixed rho: the adaptive
+                # path aggregates rho across the WHOLE batch, which would
+                # need a psum-coupled variant.
+                if s.adaptive_rho:
+                    raise NotImplementedError(
+                        "kkt_mode='shared' over a mesh requires "
+                        "adaptive_rho=False (per-device independent "
+                        "execution); use kkt_mode='inverse' for adaptive "
+                        "rho on a mesh")
+                ndev = self.mesh.devices.size
+                if B % ndev != 0:
+                    raise ValueError(
+                        f"batch {B} must be divisible by mesh size {ndev}")
+                group = 128
+                while (B // ndev) % group != 0:
+                    group //= 2
+                from jax.sharding import PartitionSpec as PS
+                from jax import shard_map
+
+                bspec = PS(self.axis_name)
+                rspec = PS()
+                fn = shard_map(
+                    lambda Pm_, A_, q_, l_, u_, x0_, y0_:
+                    _shared_solve_impl(Pm_, A_, q_, l_, u_, dyn,
+                                       jnp.int32(s.scaling), x0_, y0_,
+                                       group=group, interpret=interpret,
+                                       adaptive=False),
+                    mesh=self.mesh,
+                    in_specs=(rspec, rspec, bspec, bspec, bspec,
+                              bspec, bspec),
+                    out_specs=SolveOutput(
+                        x=bspec, y=bspec, z=bspec, status=bspec, iter=bspec,
+                        pri_res=bspec, dua_res=bspec, obj_val=bspec,
+                        prim_cert=bspec, dual_cert=bspec,
+                        rho_updates=bspec, rho_estimate=bspec,
+                        xbar=bspec, ybar=bspec, zbar=bspec,
+                        status_polish=rspec),
+                    check_vma=False)
+                out = jax.jit(fn)(Pm, A, q, l, u, x0, y0)
+            else:
+                group = 128
+                while B % group != 0:
+                    group //= 2
+                out = self._shared_jit(Pm, A, q, l, u, dyn,
+                                       jnp.int32(s.scaling), x0, y0,
+                                       group, interpret, bool(s.adaptive_rho))
         else:
             if Pm.ndim == 2:  # shared P / A broadcast across the batch
                 Pm = jnp.broadcast_to(Pm, (B, n, n))

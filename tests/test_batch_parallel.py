@@ -128,3 +128,26 @@ def test_batched_polish():
                 P @ np.asarray(out.x[i]) + q[i] + A.T @ np.asarray(out.y[i]),
                 np.inf)
             assert stat < 1e-6, (mode, i, stat)
+
+
+def test_shared_mode_over_mesh():
+    # shard_map'd shared engine: P/A replicated, lanes split across devices,
+    # each device running independently (fixed rho)
+    mesh = batch_mesh(8)
+    B, n, m = 16, 8, 12
+    P, q, A, l, u = make_batch(B, n, m, seed=11)
+    s = Settings(verbose=False, eps_abs=1e-5, eps_rel=1e-5,
+                 adaptive_rho=False, dtype=np.float32)
+    out = BatchedSolver(settings=s, mesh=mesh, kkt_mode="shared").solve(
+        P, q, A, l, u)
+    ref = BatchedSolver(settings=s, kkt_mode="shared").solve(P, q, A, l, u)
+    assert len(out.x.sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(out.status),
+                                  np.asarray(ref.status))
+    np.testing.assert_allclose(np.asarray(out.x), np.asarray(ref.x),
+                               atol=1e-4)
+    # adaptive + mesh + shared must be rejected
+    s2 = Settings(verbose=False, adaptive_rho=True)
+    with pytest.raises(NotImplementedError):
+        BatchedSolver(settings=s2, mesh=mesh, kkt_mode="shared").solve(
+            P, q, A, l, u)
