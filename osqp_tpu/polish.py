@@ -27,7 +27,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 from jax import lax
 
-from .linalg import chol_factor, chol_solve, sym, with_precision
+from .linalg import cg_solve, chol_factor, chol_solve, sym, with_precision
 from .core import residual_norms
 from .types import DynParams, QPData, ScalingData
 
@@ -45,13 +45,18 @@ class PolishOutput(NamedTuple):
 @with_precision
 def polish(sdata: QPData, scal: ScalingData, dyn: DynParams,
            delta, refine_iters, ybar,
-           admm_pri_res, admm_dua_res) -> PolishOutput:
+           admm_pri_res, admm_dua_res,
+           indirect: bool = False) -> PolishOutput:
     """Polish the (scaled) ADMM solution; the active set is guessed from the
-    sign of the dual iterate ``ybar``."""
+    sign of the dual iterate ``ybar``.
+
+    ``indirect=True`` solves the reduced polish system matrix-free with
+    Jacobi-preconditioned CG (the large-sparse path, where no dense factor
+    exists); requires operator P/A with ``diag``/``sqT`` companions."""
     P, q, A, l, u = sdata
-    dtype = P.dtype
-    n = P.shape[0]
-    m = A.shape[0]
+    dtype = q.dtype
+    n = q.shape[0]
+    m = l.shape[0]
     delta = jnp.asarray(delta, dtype)
 
     low = ybar < 0.0
@@ -63,17 +68,36 @@ def polish(sdata: QPData, scal: ScalingData, dyn: DynParams,
         """Āᵀ(mask∘v) — the masked-active-rows transpose product."""
         return A.T @ (mask * v)
 
-    Ma = mask[:, None] * A if m > 0 else A
-    R = P + delta * jnp.eye(n, dtype=dtype)
-    if m > 0:
-        R = R + (Ma.T @ Ma) / delta
-    Lp = chol_factor(sym(R))
+    if indirect:
+        def R_matvec(v):
+            out = P @ v + delta * v
+            if m > 0:
+                out = out + t(mask * (A @ v)) / delta
+            return out
+        d = P.diag + delta
+        if m > 0:
+            d = d + (A.sqT @ mask) / delta
+        M_inv = 1.0 / d
+
+        def solve_R(r):
+            return cg_solve(R_matvec, r, jnp.zeros_like(r),
+                            jnp.asarray(1e-10, dtype), 400,
+                            M_inv_diag=M_inv)
+    else:
+        Ma = mask[:, None] * A if m > 0 else A
+        R = P + delta * jnp.eye(n, dtype=dtype)
+        if m > 0:
+            R = R + (Ma.T @ Ma) / delta
+        Lp = chol_factor(sym(R))
+
+        def solve_R(r):
+            return chol_solve(Lp, r)
 
     rhs1 = -q
     rhs2 = mask * b
 
     def solve_reg(r1, r2):
-        dx = chol_solve(Lp, r1 + t(r2) / delta)
+        dx = solve_R(r1 + t(r2) / delta)
         dy = mask * ((A @ dx) - r2) / delta + (1.0 - mask) * r2
         return dx, dy
 

@@ -86,7 +86,10 @@ def sparse_ruiz(P: SparseOp, q, A: SparseOp, l, u, n_iters):
 
 
 def _solve_sparse_impl(P: SparseOp, q, A: SparseOp, l, u, dyn, scaling_iters,
-                       x0, y0):
+                       x0, y0, do_polish: bool = False, delta=1e-6,
+                       refine_iters=3):
+    from .polish import polish as _polish_fn
+
     l = jnp.clip(l, -C.OSQP_INFTY, C.OSQP_INFTY)
     u = jnp.clip(u, -C.OSQP_INFTY, C.OSQP_INFTY)
     Pb, qb, Ab, lb, ub, scal = sparse_ruiz(P, q, A, l, u, scaling_iters)
@@ -96,10 +99,24 @@ def _solve_sparse_impl(P: SparseOp, q, A: SparseOp, l, u, dyn, scaling_iters,
     zb = Ab @ xb
     fs = init_factor(sdata, dyn.sigma, dyn.rho_bar, indirect=True)
     out, _ = solve_scaled(sdata, scal, dyn, xb, yb, zb, fs, linsys="indirect")
+    if do_polish:
+        pol = _polish_fn(sdata, scal, dyn, delta, refine_iters, out.ybar,
+                         out.pri_res, out.dua_res, indirect=True)
+        ok = pol.success & (out.status == C.SOLVED)
+        out = out._replace(
+            x=jnp.where(ok, pol.x, out.x),
+            y=jnp.where(ok, pol.y, out.y),
+            z=jnp.where(ok, pol.z, out.z),
+            obj_val=jnp.where(ok, pol.obj_val, out.obj_val),
+            pri_res=jnp.where(ok, pol.pri_res, out.pri_res),
+            dua_res=jnp.where(ok, pol.dua_res, out.dua_res),
+            status_polish=jnp.where(out.status == C.SOLVED,
+                                    jnp.where(ok, 1, -1), 0).astype(jnp.int32))
     return out
 
 
-_solve_sparse_jit = jax.jit(_solve_sparse_impl)
+_solve_sparse_jit = jax.jit(_solve_sparse_impl,
+                            static_argnames=("do_polish",))
 
 
 class SparseModel:
@@ -131,9 +148,6 @@ class SparseModel:
             raise ValueError("sparse_format must be 'auto', 'padded' or "
                              "'bcoo'")
         self.settings = Settings.from_kwargs(**settings)
-        if self.settings.polish:
-            raise ValueError("polish is not supported on the sparse "
-                             "(matrix-free) path")
         dtype = self.settings.resolve_dtype()
         if _sp is None or not (_sp.issparse(P) and _sp.issparse(A)):
             raise ValueError("SparseModel requires scipy.sparse P and A")
@@ -222,12 +236,16 @@ class SparseModel:
         dyn = dyn_from_settings(s, self._dtype)
         out = _solve_sparse_jit(self._P_op, self._q, self._A_op,
                                 self._l, self._u, dyn,
-                                jnp.int32(s.scaling), self._x0, self._y0)
+                                jnp.int32(s.scaling), self._x0, self._y0,
+                                do_polish=bool(s.polish),
+                                delta=jnp.asarray(s.delta, self._dtype),
+                                refine_iters=jnp.int32(s.polish_refine_iter))
         jax.block_until_ready(out.x)
         solve_time = time.perf_counter() - t0
         status_val = int(out.status)
         status = Info.status_from_val(status_val)
         info = Info(iter=int(out.iter), status=status, status_val=status_val,
+                    status_polish=int(jnp.asarray(out.status_polish)),
                     obj_val=float(out.obj_val), pri_res=float(out.pri_res),
                     dua_res=float(out.dua_res), solve_time=solve_time,
                     run_time=solve_time, rho_updates=int(out.rho_updates),

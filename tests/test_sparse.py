@@ -73,10 +73,18 @@ def test_sparse_large_lasso_style():
     assert viol < 1e-3
 
 
-def test_sparse_rejects_polish():
-    P, q, A, l, u = make_sparse_problem()
-    with pytest.raises(ValueError):
-        SparseModel().setup(P=P, q=q, A=A, l=l, u=u, polish=True)
+def test_sparse_polish():
+    # matrix-free polish: CG on the masked reduced system
+    P, q, A, l, u = make_sparse_problem(seed=12)
+    sm = SparseModel().setup(P=P, q=q, A=A, l=l, u=u, verbose=False,
+                             eps_abs=1e-3, eps_rel=1e-3, polish=True)
+    r = sm.solve()
+    assert r.info.status == "Solved"
+    assert r.info.status_polish == 1
+    Pd = P.toarray()
+    Ad = A.toarray()
+    stat = np.linalg.norm(Pd @ r.x + q + Ad.T @ r.y, np.inf)
+    assert stat < 1e-6
 
 
 def test_sparse_accepts_triu_P():
