@@ -132,16 +132,11 @@ class BatchedSolver:
             interpret = jax.default_backend() not in ("tpu", "axon")
             if self.mesh is not None:
                 # multi-chip shared mode: shard_map over the batch axis —
-                # every device runs the full shared pipeline on its local
-                # lanes (P/A replicated). Requires fixed rho: the adaptive
-                # path aggregates rho across the WHOLE batch, which would
-                # need a psum-coupled variant.
-                if s.adaptive_rho:
-                    raise NotImplementedError(
-                        "kkt_mode='shared' over a mesh requires "
-                        "adaptive_rho=False (per-device independent "
-                        "execution); use kkt_mode='inverse' for adaptive "
-                        "rho on a mesh")
+                # every device runs the shared pipeline on its local lanes
+                # (P/A replicated). With fixed rho the devices are fully
+                # independent; with adaptive rho the loop continuation and
+                # rho aggregation become psum collectives (axis_name passed
+                # into the engine) so every device decides identically.
                 ndev = self.mesh.devices.size
                 if B % ndev != 0:
                     raise ValueError(
@@ -159,7 +154,8 @@ class BatchedSolver:
                     _shared_solve_impl(Pm_, A_, q_, l_, u_, dyn,
                                        jnp.int32(s.scaling), x0_, y0_,
                                        group=group, interpret=interpret,
-                                       adaptive=False),
+                                       adaptive=bool(s.adaptive_rho),
+                                       axis_name=self.axis_name),
                     mesh=self.mesh,
                     in_specs=(rspec, rspec, bspec, bspec, bspec,
                               bspec, bspec),

@@ -229,9 +229,14 @@ def _shared_inverse(P, A, sigma, rho_vec):
 @with_precision
 def solve_batch_shared(P, A, qb, lb, ub, scal: SharedScaling, dyn: DynParams,
                        x0, y0, z0, group: int = 128,
-                       interpret: bool = False) -> SolveOutput:
+                       interpret: bool = False,
+                       axis_name=None) -> SolveOutput:
     """Batched solve with shared (scaled) P, A. Per-lane qb/lb/ub are scaled;
-    x0/y0/z0 are scaled starts."""
+    x0/y0/z0 are scaled starts.
+
+    ``axis_name``: under shard_map over the batch axis, the cross-lane
+    reductions (loop continuation, aggregate rho, constraint classification)
+    become psum-based so all devices take identical decisions."""
     from .ops.shared_iter import admm_iterate_shared
 
     dtype = P.dtype
@@ -264,8 +269,19 @@ def solve_batch_shared(P, A, qb, lb, ub, scal: SharedScaling, dyn: DynParams,
         rho_estimate=rho0, rho_updates=jnp.int32(0),
     )
 
+    def _gany(v):
+        # global any() across the (possibly device-split) batch
+        if axis_name is None:
+            return jnp.any(v)
+        return lax.psum(jnp.any(v).astype(jnp.int32), axis_name) > 0
+
+    def _gsum(v):
+        if axis_name is None:
+            return jnp.sum(v)
+        return lax.psum(jnp.sum(v), axis_name)
+
     def cond_fun(c: SCarry):
-        return jnp.any(c.status == C.RUNNING) & (c.it < dyn.max_iter)
+        return _gany(c.status == C.RUNNING) & (c.it < dyn.max_iter)
 
     def body_fun(c: SCarry) -> SCarry:
         live = c.status == C.RUNNING
@@ -304,12 +320,13 @@ def solve_batch_shared(P, A, qb, lb, ub, scal: SharedScaling, dyn: DynParams,
             est_lane = jnp.clip(c.rho_bar * jnp.sqrt(pri_rel / dua_rel),
                                 C.RHO_MIN, C.RHO_MAX)
             est_lane = jnp.where(jnp.isfinite(est_lane), est_lane, c.rho_bar)
-            # aggregate: geometric mean over still-running lanes
+            # aggregate: geometric mean over still-running lanes (global
+            # across devices when sharded)
             w = still.astype(dtype)
-            cnt = jnp.maximum(jnp.sum(w), 1.0)
-            est = jnp.exp(jnp.sum(w * jnp.log(est_lane)) / cnt)
+            cnt = jnp.maximum(_gsum(w), 1.0)
+            est = jnp.exp(_gsum(w * jnp.log(est_lane)) / cnt)
             est = jnp.clip(est, C.RHO_MIN, C.RHO_MAX)
-            trig = (jnp.any(still)
+            trig = (_gany(still)
                     & ((est > c.rho_bar * dyn.adaptive_rho_tolerance)
                        | (est < c.rho_bar / dyn.adaptive_rho_tolerance)))
 
@@ -395,7 +412,8 @@ def solve_batch_shared(P, A, qb, lb, ub, scal: SharedScaling, dyn: DynParams,
 @with_precision
 def solve_batch_shared_fixed(P, A, qb, lb, ub, scal: SharedScaling,
                              dyn: DynParams, x0, y0, z0, group: int = 128,
-                             interpret: bool = False) -> SolveOutput:
+                             interpret: bool = False,
+                             axis_name=None) -> SolveOutput:
     """Fixed-rho shared-structure solve: the ENTIRE loop runs in one Pallas
     kernel (ops/solve_kernel.py) with in-kernel residual checks and per-lane
     freezing. Used when adaptive_rho is off (no mid-solve refactorization)."""
@@ -408,6 +426,10 @@ def solve_batch_shared_fixed(P, A, qb, lb, ub, scal: SharedScaling,
     eq_b = (~loose_b) & (ub - lb < C.RHO_TOL)
     loose = jnp.all(loose_b, axis=0)
     eq = jnp.all(eq_b, axis=0) & ~loose
+    if axis_name is not None:
+        ndev = lax.psum(jnp.ones((), jnp.int32), axis_name)
+        loose = lax.psum(loose.astype(jnp.int32), axis_name) == ndev
+        eq = (lax.psum(eq.astype(jnp.int32), axis_name) == ndev) & ~loose
     rho0 = jnp.clip(jnp.asarray(dyn.rho_bar, dtype), C.RHO_MIN, C.RHO_MAX)
     rho_vec, rho_inv = _shared_rho_vec(loose, eq, rho0)
     Rinv = _shared_inverse(P, A, dyn.sigma, rho_vec)
@@ -475,7 +497,7 @@ def solve_batch_shared_fixed(P, A, qb, lb, ub, scal: SharedScaling,
 
 def solve_shared(P, A, q, l, u, dyn: DynParams, scaling_iters,
                  x0, y0, group: int = 128, interpret: bool = False,
-                 adaptive: bool = True) -> SolveOutput:
+                 adaptive: bool = True, axis_name=None) -> SolveOutput:
     """One-shot shared-structure solve: scale shared data once, solve batch.
 
     P (n,n), A (m,n) shared; q (B,n), l/u (B,m) per-lane; x0/y0 unscaled.
@@ -484,6 +506,8 @@ def solve_shared(P, A, q, l, u, dyn: DynParams, scaling_iters,
     l = jnp.clip(l, -C.OSQP_INFTY, C.OSQP_INFTY)
     u = jnp.clip(u, -C.OSQP_INFTY, C.OSQP_INFTY)
     q_absmax = jnp.max(jnp.abs(q), axis=0)
+    if axis_name is not None:
+        q_absmax = lax.pmax(q_absmax, axis_name)
     Pb, Ab, scal = shared_ruiz(P, A, q_absmax, scaling_iters)
     qb = scal.c * scal.D * q
     lb = scal.E * l
@@ -494,6 +518,8 @@ def solve_shared(P, A, q, l, u, dyn: DynParams, scaling_iters,
     if not adaptive:
         return solve_batch_shared_fixed(Pb, Ab, qb, lb, ub, scal, dyn,
                                         xb, yb, zb, group=group,
-                                        interpret=interpret)
+                                        interpret=interpret,
+                                        axis_name=axis_name)
     return solve_batch_shared(Pb, Ab, qb, lb, ub, scal, dyn, xb, yb, zb,
-                              group=group, interpret=interpret)
+                              group=group, interpret=interpret,
+                              axis_name=axis_name)

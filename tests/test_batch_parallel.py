@@ -146,8 +146,17 @@ def test_shared_mode_over_mesh():
                                   np.asarray(ref.status))
     np.testing.assert_allclose(np.asarray(out.x), np.asarray(ref.x),
                                atol=1e-4)
-    # adaptive + mesh + shared must be rejected
-    s2 = Settings(verbose=False, adaptive_rho=True)
-    with pytest.raises(NotImplementedError):
-        BatchedSolver(settings=s2, mesh=mesh, kkt_mode="shared").solve(
-            P, q, A, l, u)
+    # adaptive rho over the mesh: psum-coupled — must match unsharded
+    s2 = Settings(verbose=False, eps_abs=1e-5, eps_rel=1e-5,
+                  adaptive_rho=True, rho=1e-4, adaptive_rho_interval=25,
+                  dtype=np.float32)
+    out2 = BatchedSolver(settings=s2, mesh=mesh, kkt_mode="shared").solve(
+        P, q, A, l, u)
+    ref2 = BatchedSolver(settings=s2, kkt_mode="shared").solve(P, q, A, l, u)
+    assert np.asarray(ref2.rho_updates).max() >= 1  # adaptation really ran
+    np.testing.assert_array_equal(np.asarray(out2.status),
+                                  np.asarray(ref2.status))
+    np.testing.assert_array_equal(np.asarray(out2.iter),
+                                  np.asarray(ref2.iter))
+    np.testing.assert_allclose(np.asarray(out2.x), np.asarray(ref2.x),
+                               atol=1e-4)
