@@ -20,6 +20,7 @@ import numpy as np
 from jax.sharding import Mesh
 
 from .consensus import ConsensusQP, solve_consensus
+from .scenario import ScenarioQP, ScenarioResult
 
 
 def batch_mesh(n_devices: Optional[int] = None,
@@ -31,4 +32,5 @@ def batch_mesh(n_devices: Optional[int] = None,
     return Mesh(np.array(devs), (axis_name,))
 
 
-__all__ = ["batch_mesh", "Mesh", "ConsensusQP", "solve_consensus"]
+__all__ = ["batch_mesh", "Mesh", "ConsensusQP", "solve_consensus",
+           "ScenarioQP", "ScenarioResult"]
