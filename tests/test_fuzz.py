@@ -58,7 +58,19 @@ def test_fuzz_differential_vs_npref(seed):
     r = model.solve()
 
     if status_np != "Solved" or r.info.status != "Solved":
-        # both engines must at least agree on solvability at these settings
+        if (status_np == "Max_iter_reached"
+                and r.info.status.startswith("Primal_inf")):
+            # the NumPy oracle has no infeasibility detection; require a
+            # valid certificate instead of status equality
+            dy = r.prim_inf_cert
+            lc = np.clip(l, -1e30, 1e30)
+            uc = np.clip(u, -1e30, 1e30)
+            assert np.linalg.norm(A.T @ dy, np.inf) < 1e-3
+            val = (np.where(np.isfinite(u), uc, 0) @ np.maximum(dy, 0)
+                   + np.where(np.isfinite(l), lc, 0) @ np.minimum(dy, 0))
+            assert val < 0
+            return
+        # otherwise both engines must agree on solvability
         assert status_np == r.info.status, (status_np, r.info.status)
         return
     tol = 50 * max(settings["eps_abs"], settings["eps_rel"])
