@@ -860,6 +860,14 @@ int64_t tpuqp_update_rho(void* h, double rho) {
   return factor_kkt(*w) ? 0 : 1;
 }
 
+// Read back the (unscaled) ADMM iterates — checkpoint/warm-start export.
+int64_t tpuqp_get_iterates(void* h, double* x, double* y) {
+  auto* w = (Work*)h;
+  for (idx j = 0; j < w->n; ++j) x[j] = w->D[j] * w->xv[j];
+  for (idx k = 0; k < w->m; ++k) y[k] = w->cinv * w->E[k] * w->yv[k];
+  return 0;
+}
+
 void tpuqp_cleanup(void* h) { delete (Work*)h; }
 
 }  // extern "C"

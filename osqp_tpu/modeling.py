@@ -389,6 +389,11 @@ class Problem:
         v = -v if self._maximize else v
         return v + self._obj_constant
 
+    def raw_solver(self):
+        """The underlying Model (reference MOI.RawSolver attribute,
+        test/MOI_wrapper.jl:792); None before the first optimize/setup."""
+        return self._model
+
     def solve_time(self) -> float:
         return self._req().info.run_time
 

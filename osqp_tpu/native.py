@@ -65,6 +65,8 @@ def _load_lib():
     lib.tpuqp_update_setting.restype = ctypes.c_int64
     lib.tpuqp_update_setting.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                          ctypes.c_double]
+    lib.tpuqp_get_iterates.restype = ctypes.c_int64
+    lib.tpuqp_get_iterates.argtypes = [ctypes.c_void_p, _f64p, _f64p]
     lib.tpuqp_cleanup.argtypes = [ctypes.c_void_p]
     _LIB = lib
     return lib
@@ -260,6 +262,19 @@ class NativeModel:
             self._h,
             xa.ctypes.data_as(ctypes.c_void_p) if xa is not None else None,
             ya.ctypes.data_as(ctypes.c_void_p) if ya is not None else None)
+
+    def get_state(self) -> dict:
+        """Snapshot the ADMM iterates (checkpoint/resume parity with
+        Model.get_state)."""
+        self._check()
+        x = np.zeros(self.n)
+        y = np.zeros(self.m)
+        self._lib.tpuqp_get_iterates(self._h, x, y)
+        return {"x": x, "y": y}
+
+    def set_state(self, state: dict) -> None:
+        self._check()
+        self.warm_start(x=state["x"], y=state["y"])
 
     def dimensions(self):
         self._check()

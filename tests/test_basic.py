@@ -198,3 +198,23 @@ def test_no_retrace_on_resolve_and_updates():
     model.warm_start(x=np.zeros(2), y=np.zeros(5))
     model.solve()
     assert _solve_jit._cache_size() == misses0
+
+
+def test_setup_requires_bounds_with_A():
+    # interface.jl:64-68 semantics
+    with pytest.raises(ValueError):
+        osqp.Model().setup(P=np.eye(2), q=np.zeros(2),
+                           A=np.ones((1, 2)))  # A without l or u
+    with pytest.raises(ValueError):
+        osqp.Model().setup(P=np.eye(2), q=np.zeros(2), l=np.zeros(1))
+
+
+def test_modeling_raw_solver():
+    from osqp_tpu.modeling import Problem
+    p = Problem(verbose=False)
+    x = p.add_variable()
+    p.set_objective(quadratic={(x, x): 2.0}, affine={x: 1.0})
+    assert p.raw_solver() is None
+    p.optimize()
+    assert p.raw_solver() is not None
+    assert p.raw_solver().dimensions()[0] == 1

@@ -204,3 +204,16 @@ def test_native_polish_keeps_admm_warm_start():
     rb = b.solve()
     # second-solve trajectories must match the unpolished model's
     assert ra.info.iter == rb.info.iter
+
+
+def test_native_state_roundtrip():
+    P, q, A, l, u = make_problem(seed=21)
+    kw = dict(eps_abs=1e-8, eps_rel=1e-8, adaptive_rho=False,
+              check_termination=1)
+    a = NativeModel().setup(P=P, q=q, A=A, l=l, u=u, **kw)
+    a.solve()
+    st = a.get_state()
+    b = NativeModel().setup(P=P, q=q, A=A, l=l, u=u, **kw)
+    b.set_state(st)
+    r = b.solve()
+    assert r.info.iter <= 10
