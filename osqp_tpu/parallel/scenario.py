@@ -68,17 +68,29 @@ class ScenarioQP:
             verbose=False, eps_abs=1e-5, eps_rel=1e-5)
         self.mesh = mesh
 
-    def solve(self, P, q, A, l, u) -> ScenarioResult:
+    def solve(self, P, q, A, l, u, fused: bool = True) -> ScenarioResult:
+        """``fused=True`` (default) runs the ENTIRE outer consensus loop on
+        device as one jitted while_loop (one dispatch per solve);
+        ``fused=False`` drives the outer loop from the host (useful for
+        debugging / inspecting per-iteration state)."""
+        if fused:
+            return self._solve_fused(P, q, A, l, u)
+        return self._solve_host(P, q, A, l, u)
+
+    def _prepare(self, P, q):
         k, gamma = self.k, self.gamma
-        dtype = self.settings.resolve_dtype()
         P = np.asarray(P, float)
         q = np.asarray(q, float)
-        S, n = q.shape
-
         # gamma-augmented shared quadratic (fixed across outer iterations ->
         # the batched solver's factorization is reused via identical P)
         P_aug = P.copy()
         P_aug[:k, :k] += gamma * np.eye(k)
+        return P_aug, q
+
+    def _solve_host(self, P, q, A, l, u) -> ScenarioResult:
+        k, gamma = self.k, self.gamma
+        P_aug, q = self._prepare(P, q)
+        S, n = q.shape
 
         solver = BatchedSolver(settings=self.settings, mesh=self.mesh,
                                kkt_mode="shared")
@@ -113,3 +125,65 @@ class ScenarioQP:
             consensus_pri=pri, consensus_dua=dua,
             statuses=statuses,
             converged=bool(pri < self.eps and dua < self.eps))
+
+    def _solve_fused(self, P, q, A, l, u) -> ScenarioResult:
+        from ..core import dyn_from_settings
+        from ..shared_core import solve_shared
+
+        k = self.k
+        dtype = self.settings.resolve_dtype()
+        P_aug, qn = self._prepare(P, q)
+        S, n = qn.shape
+        m = np.asarray(l).shape[1]
+        s = self.settings
+        dyn = dyn_from_settings(s, dtype)
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        group = 128
+        while S % group != 0:
+            group //= 2
+
+        Pd = jnp.asarray(P_aug, dtype)
+        Ad = jnp.asarray(np.asarray(A, float), dtype)
+        qd = jnp.asarray(qn, dtype)
+        ld = jnp.asarray(np.asarray(l, float), dtype)
+        ud = jnp.asarray(np.asarray(u, float), dtype)
+        gamma = jnp.asarray(self.gamma, dtype)
+        eps = jnp.asarray(self.eps, dtype)
+
+        def outer(carry):
+            it, w_bar, lam, x, y, pri, dua, statuses = carry
+            q_aug = qd.at[:, :k].add(lam - gamma * w_bar[None, :])
+            out = solve_shared(Pd, Ad, q_aug, ld, ud, dyn,
+                               jnp.int32(s.scaling), x, y,
+                               group=group, interpret=interpret,
+                               adaptive=bool(s.adaptive_rho))
+            ws = out.x[:, :k]
+            w_new = jnp.mean(ws, axis=0)
+            pri2 = jnp.max(jnp.abs(ws - w_new[None, :]))
+            dua2 = gamma * jnp.max(jnp.abs(w_new - w_bar))
+            lam2 = lam + gamma * (ws - w_new[None, :])
+            return (it + 1, w_new, lam2, out.x, out.y, pri2, dua2,
+                    out.status)
+
+        def cond(carry):
+            it, _, _, _, _, pri, dua, _ = carry
+            return (it < self.max_outer) & jnp.logical_not(
+                (pri < eps) & (dua < eps) & (it > 1))
+
+        @jax.jit
+        def run():
+            init = (jnp.int32(0), jnp.zeros((k,), dtype),
+                    jnp.zeros((S, k), dtype), jnp.zeros((S, n), dtype),
+                    jnp.zeros((S, m), dtype),
+                    jnp.asarray(jnp.inf, dtype), jnp.asarray(jnp.inf, dtype),
+                    jnp.zeros((S,), jnp.int32))
+            return jax.lax.while_loop(cond, outer, init)
+
+        it, w_bar, lam, x, y, pri, dua, statuses = run()
+        return ScenarioResult(
+            w=np.asarray(w_bar, float), z=np.asarray(x, float),
+            outer_iters=int(it),
+            consensus_pri=float(pri), consensus_dua=float(dua),
+            statuses=np.asarray(statuses),
+            converged=bool((float(pri) < self.eps)
+                           and (float(dua) < self.eps)))

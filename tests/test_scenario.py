@@ -77,3 +77,15 @@ def test_scenario_warm_started_outer_loop_converges_quickly():
     s1 = solver.solve(P, q, A, l, u)
     assert s1.converged
     assert s1.outer_iters < 300
+
+
+def test_scenario_fused_matches_host_loop():
+    P, q, A, l, u = make_scenario_problem(seed=5)
+    kw = dict(k=3, gamma=2.0, eps_consensus=1e-5, max_outer=300,
+              settings=Settings(verbose=False, eps_abs=1e-7, eps_rel=1e-7,
+                                adaptive_rho=False))
+    sf = ScenarioQP(**kw).solve(P, q, A, l, u, fused=True)
+    sh = ScenarioQP(**kw).solve(P, q, A, l, u, fused=False)
+    assert sf.converged and sh.converged
+    assert sf.outer_iters == sh.outer_iters
+    np.testing.assert_allclose(sf.w, sh.w, atol=1e-8)
