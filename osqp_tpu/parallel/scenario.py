@@ -28,6 +28,7 @@ The solver reports the consensus residuals r = max_s‖w_s − w̄‖∞ (primal
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
 import numpy as np
@@ -37,6 +38,45 @@ import jax.numpy as jnp
 
 from ..batch import BatchedSolver
 from ..settings import Settings
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "k", "max_outer", "group", "interpret", "adaptive"))
+def _fused_consensus(Pd, Ad, qd, ld, ud, dyn, scaling, gamma, eps,
+                     k: int, max_outer: int, group: int,
+                     interpret: bool, adaptive: bool):
+    """The whole consensus loop as one jitted while_loop (cached per shape
+    and static config — repeated solves never retrace)."""
+    from ..shared_core import solve_shared
+
+    dtype = qd.dtype
+    S, n = qd.shape
+    m = ld.shape[1]
+
+    def outer(carry):
+        it, w_bar, lam, x, y, pri, dua, statuses = carry
+        q_aug = qd.at[:, :k].add(lam - gamma * w_bar[None, :])
+        out = solve_shared(Pd, Ad, q_aug, ld, ud, dyn, scaling, x, y,
+                           group=group, interpret=interpret,
+                           adaptive=adaptive)
+        ws = out.x[:, :k]
+        w_new = jnp.mean(ws, axis=0)
+        pri2 = jnp.max(jnp.abs(ws - w_new[None, :]))
+        dua2 = gamma * jnp.max(jnp.abs(w_new - w_bar))
+        lam2 = lam + gamma * (ws - w_new[None, :])
+        return (it + 1, w_new, lam2, out.x, out.y, pri2, dua2, out.status)
+
+    def cond(carry):
+        it, _, _, _, _, pri, dua, _ = carry
+        return (it < max_outer) & jnp.logical_not(
+            (pri < eps) & (dua < eps) & (it > 1))
+
+    init = (jnp.int32(0), jnp.zeros((k,), dtype),
+            jnp.zeros((S, k), dtype), jnp.zeros((S, n), dtype),
+            jnp.zeros((S, m), dtype),
+            jnp.asarray(jnp.inf, dtype), jnp.asarray(jnp.inf, dtype),
+            jnp.zeros((S,), jnp.int32))
+    return jax.lax.while_loop(cond, outer, init)
 
 
 class ScenarioResult(NamedTuple):
@@ -128,13 +168,11 @@ class ScenarioQP:
 
     def _solve_fused(self, P, q, A, l, u) -> ScenarioResult:
         from ..core import dyn_from_settings
-        from ..shared_core import solve_shared
 
         k = self.k
         dtype = self.settings.resolve_dtype()
         P_aug, qn = self._prepare(P, q)
         S, n = qn.shape
-        m = np.asarray(l).shape[1]
         s = self.settings
         dyn = dyn_from_settings(s, dtype)
         interpret = jax.default_backend() not in ("tpu", "axon")
@@ -142,44 +180,15 @@ class ScenarioQP:
         while S % group != 0:
             group //= 2
 
-        Pd = jnp.asarray(P_aug, dtype)
-        Ad = jnp.asarray(np.asarray(A, float), dtype)
-        qd = jnp.asarray(qn, dtype)
-        ld = jnp.asarray(np.asarray(l, float), dtype)
-        ud = jnp.asarray(np.asarray(u, float), dtype)
-        gamma = jnp.asarray(self.gamma, dtype)
-        eps = jnp.asarray(self.eps, dtype)
-
-        def outer(carry):
-            it, w_bar, lam, x, y, pri, dua, statuses = carry
-            q_aug = qd.at[:, :k].add(lam - gamma * w_bar[None, :])
-            out = solve_shared(Pd, Ad, q_aug, ld, ud, dyn,
-                               jnp.int32(s.scaling), x, y,
-                               group=group, interpret=interpret,
-                               adaptive=bool(s.adaptive_rho))
-            ws = out.x[:, :k]
-            w_new = jnp.mean(ws, axis=0)
-            pri2 = jnp.max(jnp.abs(ws - w_new[None, :]))
-            dua2 = gamma * jnp.max(jnp.abs(w_new - w_bar))
-            lam2 = lam + gamma * (ws - w_new[None, :])
-            return (it + 1, w_new, lam2, out.x, out.y, pri2, dua2,
-                    out.status)
-
-        def cond(carry):
-            it, _, _, _, _, pri, dua, _ = carry
-            return (it < self.max_outer) & jnp.logical_not(
-                (pri < eps) & (dua < eps) & (it > 1))
-
-        @jax.jit
-        def run():
-            init = (jnp.int32(0), jnp.zeros((k,), dtype),
-                    jnp.zeros((S, k), dtype), jnp.zeros((S, n), dtype),
-                    jnp.zeros((S, m), dtype),
-                    jnp.asarray(jnp.inf, dtype), jnp.asarray(jnp.inf, dtype),
-                    jnp.zeros((S,), jnp.int32))
-            return jax.lax.while_loop(cond, outer, init)
-
-        it, w_bar, lam, x, y, pri, dua, statuses = run()
+        it, w_bar, lam, x, y, pri, dua, statuses = _fused_consensus(
+            jnp.asarray(P_aug, dtype), jnp.asarray(np.asarray(A, float), dtype),
+            jnp.asarray(qn, dtype),
+            jnp.asarray(np.asarray(l, float), dtype),
+            jnp.asarray(np.asarray(u, float), dtype),
+            dyn, jnp.int32(s.scaling),
+            jnp.asarray(self.gamma, dtype), jnp.asarray(self.eps, dtype),
+            k=k, max_outer=self.max_outer, group=group,
+            interpret=interpret, adaptive=bool(s.adaptive_rho))
         return ScenarioResult(
             w=np.asarray(w_bar, float), z=np.asarray(x, float),
             outer_iters=int(it),
