@@ -201,3 +201,43 @@ def solve_batch(Pm, q, A, l, u, settings: Optional[Settings] = None,
     """One-shot functional batched solve (convenience wrapper)."""
     return BatchedSolver(settings=settings, mesh=mesh).solve(
         Pm, q, A, l, u, x0=x0, y0=y0)
+
+
+def pad_problems(problems, dtype=float):
+    """Pad a list of differently-sized QPs into one stacked batch.
+
+    ``problems`` is a sequence of (P, q, A, l, u) tuples with varying (n, m).
+    Variables are padded with a unit-diagonal quadratic block (so the padded
+    coordinates decouple and solve to 0); constraints are padded with loose
+    rows. Returns ``(P, q, A, l, u, sizes)`` stacked to the max dims, with
+    ``sizes`` the original (n_i, m_i) for unpadding solutions:
+
+        Pb, qb, Ab, lb, ub, sizes = pad_problems(problems)
+        out = BatchedSolver(...).solve(Pb, qb, Ab, lb, ub)
+        x_i = out.x[i, :sizes[i][0]]
+    """
+    import numpy as _np
+
+    n_max = max(_np.asarray(p[0]).shape[0] for p in problems)
+    m_max = max(_np.asarray(p[2]).shape[0] for p in problems)
+    B = len(problems)
+    Pb = _np.zeros((B, n_max, n_max), dtype)
+    qb = _np.zeros((B, n_max), dtype)
+    Ab = _np.zeros((B, m_max, n_max), dtype)
+    lb = _np.full((B, m_max), -_np.inf, dtype)
+    ub = _np.full((B, m_max), _np.inf, dtype)
+    sizes = []
+    for i, (P, q, A, l, u) in enumerate(problems):
+        P = _np.asarray(P)
+        A = _np.asarray(A)
+        n_i, m_i = P.shape[0], A.shape[0]
+        Pb[i, :n_i, :n_i] = P
+        # decouple padded coordinates (unit diagonal => x_pad = 0)
+        for j in range(n_i, n_max):
+            Pb[i, j, j] = 1.0
+        qb[i, :n_i] = _np.asarray(q)
+        Ab[i, :m_i, :n_i] = A
+        lb[i, :m_i] = _np.asarray(l)
+        ub[i, :m_i] = _np.asarray(u)
+        sizes.append((n_i, m_i))
+    return Pb, qb, Ab, lb, ub, sizes

@@ -160,3 +160,31 @@ def test_shared_mode_over_mesh():
                                   np.asarray(ref2.iter))
     np.testing.assert_allclose(np.asarray(out2.x), np.asarray(ref2.x),
                                atol=1e-4)
+
+
+def test_pad_problems_heterogeneous_sizes():
+    from osqp_tpu.batch import pad_problems
+    rng = np.random.RandomState(17)
+    problems = []
+    refs = []
+    for (n, m) in [(4, 6), (7, 3), (5, 9)]:
+        M = rng.randn(n, n)
+        P = M.T @ M + 0.5 * np.eye(n)
+        q = rng.randn(n)
+        A = rng.randn(m, n)
+        l = -1 - rng.rand(m)
+        u = 1 + rng.rand(m)
+        problems.append((P, q, A, l, u))
+        model = osqp.Model()
+        model.setup(P=P, q=q, A=A, l=l, u=u, verbose=False,
+                    eps_abs=1e-6, eps_rel=1e-6)
+        refs.append(model.solve())
+    Pb, qb, Ab, lb, ub, sizes = pad_problems(problems)
+    out = BatchedSolver(settings=SETTINGS).solve(Pb, qb, Ab, lb, ub)
+    for i, (n_i, m_i) in enumerate(sizes):
+        assert int(out.status[i]) == 1
+        np.testing.assert_allclose(np.asarray(out.x[i, :n_i]),
+                                   refs[i].x, atol=1e-4)
+        # padded coordinates decouple to zero
+        np.testing.assert_allclose(np.asarray(out.x[i, n_i:]), 0.0,
+                                   atol=1e-6)
