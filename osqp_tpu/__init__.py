@@ -28,6 +28,9 @@ from .interface import Model, version
 from .settings import Settings
 from .types import Info, QPData, Results, ScalingData, SolveOutput
 
+#: osqp-python-style alias: ``prob = osqp.OSQP(); prob.setup(...)``
+OSQP = Model
+
 
 def __getattr__(name):
     # lazy accessors keep `import osqp_tpu` light (no pallas/ctypes imports)
@@ -50,6 +53,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "Model",
+    "OSQP",
     "BatchedSolver",
     "SparseModel",
     "NativeModel",

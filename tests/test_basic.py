@@ -218,3 +218,11 @@ def test_modeling_raw_solver():
     p.optimize()
     assert p.raw_solver() is not None
     assert p.raw_solver().dimensions()[0] == 1
+
+
+def test_osqp_python_alias():
+    # osqp-python users type osqp.OSQP()
+    prob = osqp.OSQP()
+    P, q, A, l, u = basic_problem()
+    prob.setup(P=P, q=q, A=A, l=l, u=u, **basic_options())
+    assert prob.solve().info.status == "Solved"
