@@ -102,3 +102,35 @@ def test_fuzz_update_equals_fresh(seed):
     assert r_inc.info.status == r_fresh.info.status
     if r_inc.info.status == "Solved":
         np.testing.assert_allclose(r_inc.x, r_fresh.x, atol=1e-4)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_batched_matches_model(seed):
+    # randomized batched-vs-single differential across engines
+    from osqp_tpu.batch import BatchedSolver
+    from osqp_tpu.settings import Settings
+
+    rng = np.random.RandomState(3000 + seed)
+    B = int(rng.randint(2, 5))
+    n = int(rng.randint(4, 12))
+    m = int(rng.randint(3, 16))
+    M = rng.randn(n, n) / np.sqrt(n)
+    P = M.T @ M + (0.1 + rng.rand()) * np.eye(n)
+    A = rng.randn(m, n) / np.sqrt(n)
+    q = rng.randn(B, n)
+    c = rng.randn(B, m) * 0.2
+    w = 0.5 + rng.rand(B, m)
+    l, u = c - w, c + w
+    eps = 10.0 ** -rng.randint(5, 7)
+    s = Settings(verbose=False, eps_abs=eps, eps_rel=eps,
+                 adaptive_rho=bool(rng.rand() < 0.5))
+    mode = ["inverse", "chol", "shared"][rng.randint(3)]
+    out = BatchedSolver(settings=s, kkt_mode=mode).solve(P, q, A, l, u)
+    for i in range(B):
+        model = osqp.Model()
+        model.setup(P=P, q=q[i], A=A, l=l[i], u=u[i], verbose=False,
+                    eps_abs=eps, eps_rel=eps)
+        r = model.solve()
+        assert int(out.status[i]) == 1 and r.info.status == "Solved", mode
+        np.testing.assert_allclose(np.asarray(out.x[i]), r.x,
+                                   atol=100 * eps, err_msg=mode)
