@@ -32,8 +32,9 @@ from ..settings import Settings
 from ..types import QPData, SolveOutput
 
 
-def _solve_fn(data: QPData, dyn, scaling_iters, x0, y0) -> SolveOutput:
-    return solve(data, dyn, scaling_iters, x0, y0)
+def _solve_fn(data: QPData, dyn, scaling_iters, x0, y0,
+              linsys: str = "direct") -> SolveOutput:
+    return solve(data, dyn, scaling_iters, x0, y0, linsys=linsys)
 
 
 class ConsensusQP:
@@ -56,8 +57,12 @@ class ConsensusQP:
         rowmat = NamedSharding(mesh, P(axis_name, None))  # (m, n) leaves
         rep = NamedSharding(mesh, P())
         repmat = NamedSharding(mesh, P(None, None))
+        from .. import constants as _C
+        self._linsys = ("indirect" if self.settings.linsys_solver
+                        == _C.INDIRECT_SOLVER else "direct")
         self._jit = jax.jit(
             _solve_fn,
+            static_argnames=("linsys",),
             in_shardings=(
                 QPData(P=repmat, q=rep, A=rowmat, l=row, u=row),
                 None, None, rep, row),
@@ -87,7 +92,8 @@ class ConsensusQP:
         y0 = jnp.zeros((m,), dtype) if y0 is None else jnp.asarray(y0, dtype)
         dyn = dyn_from_settings(s, dtype)
         data = QPData(P=Pm, q=q, A=A, l=l, u=u)
-        return self._jit(data, dyn, jnp.int32(s.scaling), x0, y0)
+        return self._jit(data, dyn, jnp.int32(s.scaling), x0, y0,
+                         self._linsys)
 
 
 def solve_consensus(mesh: Mesh, Pm, q, A, l, u,

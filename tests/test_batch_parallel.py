@@ -188,3 +188,24 @@ def test_pad_problems_heterogeneous_sizes():
         # padded coordinates decouple to zero
         np.testing.assert_allclose(np.asarray(out.x[i, n_i:]), 0.0,
                                    atol=1e-6)
+
+
+def test_consensus_indirect_linsys():
+    # row-sharded + matrix-free CG (settings-driven linsys selection)
+    mesh = Mesh(np.array(jax.devices()), ("r",))
+    n, m = 10, 24
+    rng = np.random.RandomState(6)
+    M = rng.randn(n, n)
+    P = M.T @ M + 0.5 * np.eye(n)
+    q = rng.randn(n)
+    A = rng.randn(m, n)
+    l = -np.ones(m)
+    u = np.ones(m)
+    s = Settings(verbose=False, eps_abs=1e-6, eps_rel=1e-6,
+                 linsys_solver="indirect")
+    out = ConsensusQP(mesh, settings=s).solve(P, q, A, l, u)
+    assert int(out.status) == 1
+    model = osqp.Model()
+    model.setup(P=P, q=q, A=A, l=l, u=u, verbose=False,
+                eps_abs=1e-6, eps_rel=1e-6)
+    np.testing.assert_allclose(np.asarray(out.x), model.solve().x, atol=1e-4)
