@@ -112,6 +112,9 @@ class BatchedSolver:
             static_argnames=("group", "interpret", "adaptive"))
 
     def solve(self, Pm, q, A, l, u, x0=None, y0=None) -> SolveOutput:
+        """Solve the batch. ``Pm``/``A`` may be (n,n)/(m,n) shared or
+        (B,n,n)/(B,m,n) stacked; q (B,n); l/u (B,m); optional unscaled
+        warm starts x0 (B,n), y0 (B,m). Returns a batched SolveOutput."""
         s = self.settings
         dtype = s.resolve_dtype()
         Pm = jnp.asarray(Pm, dtype)

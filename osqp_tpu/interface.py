@@ -514,12 +514,14 @@ class Model:
                                    indirect=self._linsys == "indirect")
 
     def save_state(self, path: str) -> None:
+        """Write the solver state snapshot to ``path`` (.npz)."""
         self._check_setup()
         st = self.get_state()
         np.savez(path, xbar=st["xbar"], ybar=st["ybar"], zbar=st["zbar"],
                  rho_bar=st["rho_bar"])
 
     def load_state(self, path: str) -> None:
+        """Restore a snapshot written by :meth:`save_state`."""
         self._check_setup()
         data = np.load(path)
         self.set_state({"xbar": data["xbar"], "ybar": data["ybar"],

@@ -83,11 +83,13 @@ class Problem:
 
     # ------------------------------------------------------------- variables
     def add_variable(self) -> int:
+        """Add one variable; returns its index."""
         self.n += 1
         self._needs_setup = True
         return self.n - 1
 
     def add_variables(self, k: int):
+        """Add k variables; returns their indices."""
         return [self.add_variable() for _ in range(k)]
 
     # ------------------------------------------------------------- objective
@@ -131,6 +133,7 @@ class Problem:
         self._flag_obj_change(linear_only=True)
 
     def set_quadratic_objective_coefficient(self, vi: int, vj: int, v: float):
+        """Set one entry of the symmetric quadratic P (0.5 xᵀPx form)."""
         i, j = (int(vi), int(vj)) if vi <= vj else (int(vj), int(vi))
         self._quad[(i, j)] = float(v)
         self._flag_obj_change()
@@ -173,6 +176,7 @@ class Problem:
         return Constraint(len(self._rows) - 1)
 
     def add_equality(self, coeffs, rhs: float) -> Constraint:
+        """aᵀx == rhs (EqualTo set)."""
         return self.add_constraint(coeffs, lb=rhs, ub=rhs)
 
     @property
@@ -245,6 +249,7 @@ class Problem:
 
     # ----------------------------------------------------------------- starts
     def set_primal_start(self, values):
+        """VariablePrimalStart for all variables."""
         self._ensure_setup_for_starts()
         values = np.asarray(values, dtype=np.float64).ravel()
         for i in range(self.n):
@@ -329,6 +334,7 @@ class Problem:
         return self._results
 
     def termination_status(self) -> str:
+        """MOI-style TerminationStatus string (TERMINATION_STATUS mapping)."""
         if self._results is None:
             return "OPTIMIZE_NOT_CALLED"
         return TERMINATION_STATUS[self._results.info.status]
@@ -338,6 +344,7 @@ class Problem:
         return self._req().info.status
 
     def primal_status(self) -> str:
+        """FEASIBLE_POINT / INFEASIBILITY_CERTIFICATE / NO_SOLUTION."""
         s = self._req().info.status
         if s in ("Solved", "Solved_inaccurate", "Max_iter_reached"):
             return "FEASIBLE_POINT"
@@ -346,6 +353,7 @@ class Problem:
         return "NO_SOLUTION"
 
     def dual_status(self) -> str:
+        """FEASIBLE_POINT / INFEASIBILITY_CERTIFICATE / NO_SOLUTION."""
         s = self._req().info.status
         if s in ("Solved", "Solved_inaccurate", "Max_iter_reached"):
             return "FEASIBLE_POINT"
@@ -362,6 +370,7 @@ class Problem:
         return float(r.x[var])
 
     def values(self) -> np.ndarray:
+        """All variable primal values (or the primal ray when unbounded)."""
         r = self._req()
         if self.primal_status() == "INFEASIBILITY_CERTIFICATE":
             return np.array(r.dual_inf_cert)
@@ -377,6 +386,7 @@ class Problem:
         return float(-r.y[con.index])
 
     def duals(self) -> np.ndarray:
+        """All constraint duals in the MOI sign convention."""
         r = self._req()
         if self.dual_status() == "INFEASIBILITY_CERTIFICATE":
             return -np.array(r.prim_inf_cert)
@@ -395,7 +405,9 @@ class Problem:
         return self._model
 
     def solve_time(self) -> float:
+        """MOI SolveTimeSec analogue (run_time of the last optimize)."""
         return self._req().info.run_time
 
     def iterations(self) -> int:
+        """ADMM iterations of the last optimize (MOI BarrierIterations analogue)."""
         return self._req().info.iter

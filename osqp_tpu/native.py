@@ -105,6 +105,8 @@ class NativeModel:
         self._lib = _load_lib()
 
     def setup(self, P=None, q=None, A=None, l=None, u=None, **settings):
+        """Problem ingestion into the C++ workspace (CSC patterns kept for
+        the value-only update contract; same kwargs as Model.setup)."""
         if P is None and q is None and A is None:
             raise ValueError("The problem does not have any variables!")
         n = P.shape[0] if P is not None else (
@@ -159,6 +161,8 @@ class NativeModel:
         return self
 
     def solve(self) -> Results:
+        """Run the native ADMM solve; Results follow the reference
+        NaN/certificate conventions."""
         self._check()
         import time as _time
         if not self._warm:
@@ -192,6 +196,8 @@ class NativeModel:
 
     def update(self, q=None, l=None, u=None, Px=None, Px_idx=None,
                Ax=None, Ax_idx=None):
+        """In-place data update (interface.jl:235-440 semantics; one-sided
+        bounds keep the other side from host caches)."""
         self._check()
         if q is not None:
             q = np.ascontiguousarray(q, dtype=np.float64)
@@ -255,6 +261,8 @@ class NativeModel:
         self._settings.update(kwargs)
 
     def warm_start(self, x=None, y=None):
+        """osqp_warm_start semantics: providing only x zeroes y and vice
+        versa; z is set to A x."""
         self._check()
         xa = np.ascontiguousarray(x, np.float64) if x is not None else None
         ya = np.ascontiguousarray(y, np.float64) if y is not None else None
@@ -273,10 +281,12 @@ class NativeModel:
         return {"x": x, "y": y}
 
     def set_state(self, state: dict) -> None:
+        """Restore iterates captured by :meth:`get_state`."""
         self._check()
         self.warm_start(x=state["x"], y=state["y"])
 
     def dimensions(self):
+        """(n, m)."""
         self._check()
         return self.n, self.m
 

@@ -75,6 +75,8 @@ class ConsensusQP:
         )
 
     def solve(self, Pm, q, A, l, u, x0=None, y0=None) -> SolveOutput:
+        """Solve one QP with A/l/u row-sharded over the mesh; P/q and x are
+        replicated; m must divide the mesh size."""
         s = self.settings
         dtype = s.resolve_dtype()
         Pm = jnp.asarray(Pm, dtype)

@@ -105,6 +105,7 @@ class Settings:
         return cls(**kwargs)
 
     def replace(self, **kwargs) -> "Settings":
+        """Return a copy with the given fields replaced (validated)."""
         new = dataclasses.replace(self, **kwargs)
         new._coerce()
         return new
@@ -123,10 +124,13 @@ class Settings:
         self._coerce()
 
     def resolve_dtype(self):
+        """The compute dtype: explicit ``dtype`` if set, else float64 when
+        jax x64 is enabled, float32 otherwise."""
         import jax
         if self.dtype is not None:
             return np.dtype(self.dtype)
         return np.dtype(np.float64 if jax.config.jax_enable_x64 else np.float32)
 
     def asdict(self) -> dict:
+        """Settings as a plain dict (for serialization/inspection)."""
         return dataclasses.asdict(self)

@@ -138,6 +138,8 @@ class SparseModel:
         self._axis = axis_name
 
     def setup(self, P=None, q=None, A=None, l=None, u=None, **settings):
+        """Ingest scipy.sparse P (full symmetric or upper triangle) and A;
+        ``sparse_format`` in settings selects auto|padded|bcoo operators."""
         fmt = settings.pop("sparse_format", "auto")
         if fmt == "auto":
             # ELL/padded gathers suit the TPU; BCOO's segment ops are faster
@@ -208,6 +210,7 @@ class SparseModel:
         return self
 
     def warm_start(self, x=None, y=None):
+        """Set unscaled warm starts (x and/or y; omitted one is zeroed)."""
         self._check()
         dtype = self._dtype
         self._x0 = (jnp.asarray(np.asarray(x, float), dtype)
@@ -216,6 +219,7 @@ class SparseModel:
                     if y is not None else jnp.zeros((self.m,), dtype))
 
     def update(self, q=None, l=None, u=None):
+        """In-place data update (vector data only on this path)."""
         self._check()
         dtype = self._dtype
         if q is not None:
@@ -229,6 +233,7 @@ class SparseModel:
             self._u = jnp.asarray(np.asarray(u, float), dtype)
 
     def solve(self) -> Results:
+        """Run the matrix-free ADMM solve (+ optional CG polish)."""
         self._check()
         import time
         t0 = time.perf_counter()
@@ -268,6 +273,7 @@ class SparseModel:
                        prim_inf_cert=prim, dual_inf_cert=dual)
 
     def dimensions(self):
+        """(n, m)."""
         self._check()
         return self.n, self.m
 
