@@ -28,8 +28,12 @@ from typing import Dict, Optional
 
 import numpy as np
 
+import dataclasses
+
+from .constants import UPDATABLE_SETTINGS
 from .interface import Model
 from .modcaches import ProblemModificationCache, WarmStartCache
+from .settings import Settings
 from .sparse import csc_from_matrix
 
 _INF = math.inf
@@ -80,6 +84,43 @@ class Problem:
         self._results = None
         self._P_pat_keys = None
         self._A_pat_keys = None
+
+    # ------------------------------------------------------------- settings
+    @staticmethod
+    def is_updatable(name: str) -> bool:
+        """``isupdatable`` predicate of the reference's per-setting MOI
+        attributes (MOI_wrapper.jl:507-536): True if the setting may change
+        after the inner model has been set up."""
+        return name in UPDATABLE_SETTINGS
+
+    def set_setting(self, name: str, value) -> None:
+        """Per-setting attribute set (reference ``OSQPSettings`` structs,
+        MOI_wrapper.jl:507-536). Before setup any setting may be set; after,
+        only :data:`osqp_tpu.constants.UPDATABLE_SETTINGS` (applied in-place
+        through ``update_settings``), matching ``MOI.SetAttributeNotAllowed``
+        semantics for the rest."""
+        if name not in {f.name for f in dataclasses.fields(Settings)}:
+            raise ValueError(f"Unknown setting '{name}'")
+        if (self._model is not None and not self._needs_setup
+                and not self.is_updatable(name)):
+            raise ValueError(
+                f"Setting '{name}' cannot be changed after setup "
+                f"(updatable: {sorted(UPDATABLE_SETTINGS)})")
+        if self._model is not None and not self._needs_setup:
+            # validated in-place application first: a rejected value (e.g.
+            # rho<=0) must not linger in the stash for a later rebuild
+            self._model.update_settings(**{name: value})
+        self._settings[name] = value
+
+    def get_setting(self, name: str):
+        """Current effective value of a setting (explicitly set, else the
+        C-core default)."""
+        if name in self._settings:
+            return self._settings[name]
+        for f in dataclasses.fields(Settings):
+            if f.name == name:
+                return f.default
+        raise ValueError(f"Unknown setting '{name}'")
 
     # ------------------------------------------------------------- variables
     def add_variable(self) -> int:
@@ -139,7 +180,9 @@ class Problem:
         self._flag_obj_change()
 
     def _flag_obj_change(self, linear_only: bool = False):
-        if self._model is None or self._cache is None:
+        if self._model is None or self._cache is None or self._needs_setup:
+            # a structural rebuild is already pending — the stale cache must
+            # not be written (its vectors have the pre-growth sizes)
             self._needs_setup = True
             return
         sgn = -1.0 if self._maximize else 1.0

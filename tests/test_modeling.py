@@ -220,3 +220,50 @@ def test_vector_equality_least_squares():
             p.set_constraint_bounds(cons[i], d[i], d[i])
         p.optimize()
         check(A, b, expected)
+
+
+def test_settings_attributes():
+    """Per-setting attribute API (reference OSQPSettings structs,
+    MOI_wrapper.jl:507-536): set/get, isupdatable predicate, post-setup
+    enforcement, and in-place application of updatable settings."""
+    p = Problem(verbose=False)
+    # defaults surface through get_setting
+    assert p.get_setting("max_iter") == 4000
+    assert p.get_setting("rho") == 0.1
+    # any setting may be set before setup
+    p.set_setting("sigma", 1e-5)
+    p.set_setting("eps_abs", 1e-7)
+    p.set_setting("eps_rel", 1e-7)
+    assert p.get_setting("sigma") == 1e-5
+    with pytest.raises(ValueError):
+        p.set_setting("not_a_setting", 1)
+    with pytest.raises(ValueError):
+        p.get_setting("not_a_setting")
+    assert Problem.is_updatable("eps_abs")
+    assert not Problem.is_updatable("sigma")
+
+    x, y = p.add_variables(2)
+    p.set_objective(quadratic={(x, x): 2.0, (y, y): 2.0},
+                    affine={x: -2.0, y: -2.0})
+    p.add_constraint({x: 1.0, y: 1.0}, ub=1.0)
+    p.optimize()
+    assert p.termination_status() == "OPTIMAL"
+    np.testing.assert_allclose(p.values(), [0.5, 0.5], atol=1e-5)
+
+    # updatable after setup: applied in-place, no re-setup
+    inner = p.raw_solver()
+    p.set_setting("max_iter", 2000)
+    p.optimize()
+    assert p.raw_solver() is inner
+    assert p.get_setting("max_iter") == 2000
+    # non-updatable after setup: rejected (SetAttributeNotAllowed analogue)
+    with pytest.raises(ValueError):
+        p.set_setting("sigma", 1e-4)
+    # ... but allowed again once a structural change forces a re-setup
+    z = p.add_variable()
+    p.set_setting("sigma", 1e-4)
+    p.set_objective_coefficient(z, 1.0)
+    p.add_constraint({z: 1.0}, lb=0.0)
+    p.optimize()
+    assert p.termination_status() == "OPTIMAL"
+    assert p.raw_solver() is not inner
