@@ -14,6 +14,7 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <vector>
 
@@ -45,6 +46,7 @@ struct Settings {
   idx polish = 0, polish_refine_iter = 3;
   double delta = 1e-6;
   idx scaled_termination = 0;
+  idx verbose = 0;
 };
 
 struct CSC {  // column-compressed
@@ -447,6 +449,28 @@ static void compute_objective(Work& w) {
 }
 
 static void polish_solution(Work& w, double admm_pri, double admm_dua);
+static void compute_objective(Work& w);
+
+static const char* status_name(int s) {
+  switch (s) {
+    case SOLVED: return "solved";
+    case SOLVED_INACCURATE: return "solved inaccurate";
+    case MAX_ITER: return "maximum iterations reached";
+    case PRIMAL_INF: return "primal infeasible";
+    case PRIMAL_INF_INACC: return "primal infeasible inaccurate";
+    case DUAL_INF: return "dual infeasible";
+    case DUAL_INF_INACC: return "dual infeasible inaccurate";
+    case NON_CONVEX: return "problem non convex";
+    case TIME_LIMIT: return "run time limit reached";
+    default: return "unsolved";
+  }
+}
+
+static void log_iter(Work& w, idx it, const Residuals& r) {
+  compute_objective(w);
+  std::printf("%6lld  %12.4e  %9.2e  %9.2e  %9.2e\n",
+              (long long)it, w.obj, r.pri, r.dua, w.rho_bar);
+}
 
 static int admm_solve(Work& w) {
   const idx n = w.n, m = w.m;
@@ -456,6 +480,17 @@ static int admm_solve(Work& w) {
   Residuals r{0, 0, 0, 0};
   idx interval = w.st.adaptive_rho_interval > 0 ? w.st.adaptive_rho_interval
                                                 : 100;
+  if (w.st.verbose) {
+    std::printf("tpuqp: n = %lld, m = %lld, nnz(P) = %lld, nnz(A) = %lld\n",
+                (long long)n, (long long)m, (long long)w.P.p[n],
+                (long long)w.A.p[n]);
+    std::printf("rho = %.2e, sigma = %.2e, alpha = %.2f, eps_abs = %.1e, "
+                "eps_rel = %.1e, max_iter = %lld\n",
+                w.st.rho, w.st.sigma, w.st.alpha, w.st.eps_abs, w.st.eps_rel,
+                (long long)w.st.max_iter);
+    std::printf("%6s  %12s  %9s  %9s  %9s\n",
+                "iter", "objective", "pri_res", "dua_res", "rho");
+  }
   w.iter = 0;
   for (idx it = 1; it <= w.st.max_iter; ++it) {
     w.iter = it;
@@ -480,9 +515,15 @@ static int admm_solve(Work& w) {
     }
     // termination
     bool checked = false;
+    if (w.st.verbose && it == 1 &&
+        !(w.st.check_termination > 0 && it % w.st.check_termination == 0)) {
+      Residuals r1 = residuals(w);
+      log_iter(w, it, r1);
+    }
     if (w.st.check_termination > 0 && it % w.st.check_termination == 0) {
       int s = check_status(w, 1.0, true, r);
       checked = true;
+      if (w.st.verbose) log_iter(w, it, r);
       if (s != RUNNING) {
         w.status = s;
         break;
@@ -527,6 +568,18 @@ static int admm_solve(Work& w) {
   if (w.status == DUAL_INF || w.status == DUAL_INF_INACC) w.obj = -INFINITY;
   w.status_polish = 0;
   if (w.st.polish && w.status == SOLVED) polish_solution(w, r.pri, r.dua);
+  if (w.st.verbose) {
+    std::printf("status: %s\n", status_name(w.status));
+    if (w.st.polish)
+      std::printf("solution polish: %s\n",
+                  w.status_polish == 1 ? "successful"
+                  : (w.status_polish < 0 ? "unsuccessful" : "not run"));
+    std::printf("number of iterations: %lld\n", (long long)w.iter);
+    if (w.status == SOLVED || w.status == SOLVED_INACCURATE ||
+        w.status == MAX_ITER)
+      std::printf("optimal objective: %.4f\n", w.obj);
+    std::printf("optimal rho estimate: %.2e\n", w.rho_estimate);
+  }
   return w.status;
 }
 
@@ -656,7 +709,7 @@ extern "C" {
 // [rho, sigma, alpha, eps_abs, eps_rel, eps_prim_inf, eps_dual_inf,
 //  max_iter, check_termination, scaling, adaptive_rho, adaptive_rho_interval,
 //  adaptive_rho_tolerance, polish, polish_refine_iter, delta,
-//  scaled_termination]
+//  scaled_termination, verbose]
 static void load_settings(Settings& s, const double* a) {
   s.rho = a[0];
   s.sigma = a[1];
@@ -675,6 +728,7 @@ static void load_settings(Settings& s, const double* a) {
   s.polish_refine_iter = (idx)a[14];
   s.delta = a[15];
   s.scaled_termination = (idx)a[16];
+  s.verbose = (idx)a[17];
 }
 
 void* tpuqp_setup(int64_t n, int64_t m, const int64_t* Pp, const int64_t* Pi,
@@ -849,6 +903,7 @@ int64_t tpuqp_update_setting(void* h, int64_t key, double value) {
     case 7: w->st.polish = (idx)value; return 0;
     case 8: w->st.polish_refine_iter = (idx)value; return 0;
     case 9: w->st.check_termination = (idx)value; return 0;
+    case 10: w->st.verbose = (idx)value; return 0;
   }
   return 1;
 }

@@ -94,6 +94,7 @@ def _settings_array(s: dict) -> np.ndarray:
         float(s.get("polish_refine_iter", 3)),
         float(s.get("delta", 1e-6)),
         float(1 if s.get("scaled_termination", False) else 0),
+        float(1 if s.get("verbose", True) else 0),
     ], dtype=np.float64)
 
 
@@ -134,7 +135,6 @@ class NativeModel:
             raise ValueError("l must be lower than or equal to u")
         self._warm = bool(settings.get("warm_start", True))
         self._settings = dict(settings)
-        settings.pop("verbose", None)
         settings.pop("warm_start", None)
         settings.pop("time_limit", None)
         settings.pop("linsys_solver", None)
@@ -238,6 +238,7 @@ class NativeModel:
                 raise ValueError(f"Error updating {name} (code {rc})")
 
     _SETTING_KEYS = {"max_iter": 0, "eps_abs": 1, "eps_rel": 2,
+                     "verbose": 10,
                      "eps_prim_inf": 3, "eps_dual_inf": 4, "alpha": 5,
                      "delta": 6, "polish": 7, "polish_refine_iter": 8,
                      "check_termination": 9}
