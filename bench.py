@@ -123,7 +123,8 @@ def main():
         t0 = time.perf_counter()
         for i in range(K):
             nm = NativeModel().setup(P=P, q=q[i], A=A, l=l[i], u=u[i],
-                                     eps_abs=1e-3, eps_rel=1e-3)
+                                     eps_abs=1e-3, eps_rel=1e-3,
+                                     verbose=False)
             nm.solve()
         native_time = time.perf_counter() - t0
         log(f"cpu native single-core: {K} QPs in {native_time:.2f}s "
