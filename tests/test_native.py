@@ -3,6 +3,7 @@ against the JAX engine and the reference contracts."""
 
 import numpy as np
 import pytest
+import scipy.sparse as sp
 
 import osqp_tpu as osqp
 from osqp_tpu.native import NativeModel
@@ -217,3 +218,29 @@ def test_native_state_roundtrip():
     b.set_state(st)
     r = b.solve()
     assert r.info.iter <= 10
+
+
+def test_native_verbose_log(capfd):
+    """Verbose iteration log (reference C core prints header/rows/footer when
+    verbose — Settings:129): on by default, silenced by verbose=False, and
+    togglable post-setup via update_settings."""
+    P = sp.csc_matrix(np.array([[4.0, 1.0], [1.0, 2.0]]))
+    q = np.array([1.0, 1.0])
+    A = sp.csc_matrix(np.array([[1.0, 1.0], [1.0, 0.0], [0.0, 1.0]]))
+    l = np.array([1.0, 0.0, 0.0])
+    u = np.array([1.0, 0.7, 0.7])
+
+    m = NativeModel().setup(P=P, q=q, A=A, l=l, u=u)
+    m.solve()
+    out = capfd.readouterr().out
+    assert "tpuqp: n = 2, m = 3" in out
+    assert "pri_res" in out and "status: solved" in out
+    assert "number of iterations:" in out
+
+    m2 = NativeModel().setup(P=P, q=q, A=A, l=l, u=u, verbose=False)
+    m2.solve()
+    assert capfd.readouterr().out == ""
+
+    m2.update_settings(verbose=True)
+    m2.solve()
+    assert "status: solved" in capfd.readouterr().out
