@@ -14,6 +14,7 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <chrono>
 #include <cstdio>
 #include <cstring>
 #include <vector>
@@ -43,6 +44,7 @@ struct Settings {
   idx max_iter = 4000, check_termination = 25, scaling = 10;
   idx adaptive_rho = 1, adaptive_rho_interval = 100;
   double adaptive_rho_tolerance = 5.0;
+  double adaptive_rho_fraction = 0.4;
   idx polish = 0, polish_refine_iter = 3;
   double delta = 1e-6;
   idx scaled_termination = 0;
@@ -99,6 +101,7 @@ struct Work {
   double pri_res = 0, dua_res = 0, obj = 0, rho_estimate = 0.1;
   idx iter = 0, rho_updates = 0;
   int status = UNSOLVED, status_polish = 0;
+  double setup_seconds = 0.0;
   std::vector<double> dx_cert, dy_cert;
 };
 
@@ -478,8 +481,10 @@ static int admm_solve(Work& w) {
   std::vector<double> rhs(n + m), xt(n), zt(m), v(m);
   w.status = RUNNING;
   Residuals r{0, 0, 0, 0};
+  bool timing_rho = w.st.adaptive_rho && w.st.adaptive_rho_interval <= 0;
   idx interval = w.st.adaptive_rho_interval > 0 ? w.st.adaptive_rho_interval
                                                 : 100;
+  auto solve_t0 = std::chrono::steady_clock::now();
   if (w.st.verbose) {
     std::printf("tpuqp: n = %lld, m = %lld, nnz(P) = %lld, nnz(A) = %lld\n",
                 (long long)n, (long long)m, (long long)w.P.p[n],
@@ -529,8 +534,27 @@ static int admm_solve(Work& w) {
         break;
       }
     }
-    // adaptive rho
-    if (w.st.adaptive_rho && it % interval == 0) {
+    // adaptive rho (interval <= 0 -> timing-based: adapt once solve time
+    // exceeds adaptive_rho_fraction of setup time, then freeze the interval)
+    bool adapt_now = false;
+    if (w.st.adaptive_rho) {
+      if (timing_rho) {
+        double elapsed = std::chrono::duration<double>(
+            std::chrono::steady_clock::now() - solve_t0).count();
+        if (elapsed > w.st.adaptive_rho_fraction * w.setup_seconds) {
+          idx itv = it;
+          if (w.st.check_termination > 0)
+            itv = ((it + w.st.check_termination - 1) / w.st.check_termination)
+                  * w.st.check_termination;
+          interval = std::max<idx>(itv, (idx)1);
+          timing_rho = false;
+          adapt_now = true;
+        }
+      } else if (it % interval == 0) {
+        adapt_now = true;
+      }
+    }
+    if (adapt_now) {
       if (!checked) r = residuals(w);
       double pr = r.pri / std::max(r.pri_norm, DIV_GUARD);
       double dr = std::max(r.dua / std::max(r.dua_norm, DIV_GUARD), DIV_GUARD);
@@ -709,7 +733,7 @@ extern "C" {
 // [rho, sigma, alpha, eps_abs, eps_rel, eps_prim_inf, eps_dual_inf,
 //  max_iter, check_termination, scaling, adaptive_rho, adaptive_rho_interval,
 //  adaptive_rho_tolerance, polish, polish_refine_iter, delta,
-//  scaled_termination, verbose]
+//  scaled_termination, verbose, adaptive_rho_fraction]
 static void load_settings(Settings& s, const double* a) {
   s.rho = a[0];
   s.sigma = a[1];
@@ -729,12 +753,14 @@ static void load_settings(Settings& s, const double* a) {
   s.delta = a[15];
   s.scaled_termination = (idx)a[16];
   s.verbose = (idx)a[17];
+  s.adaptive_rho_fraction = a[18];
 }
 
 void* tpuqp_setup(int64_t n, int64_t m, const int64_t* Pp, const int64_t* Pi,
                   const double* Px, const int64_t* Ap, const int64_t* Ai,
                   const double* Ax, const double* q, const double* l,
                   const double* u, const double* settings, int64_t* err) {
+  auto setup_t0 = std::chrono::steady_clock::now();
   auto* w = new Work();
   w->n = n;
   w->m = m;
@@ -769,6 +795,8 @@ void* tpuqp_setup(int64_t n, int64_t m, const int64_t* Pp, const int64_t* Pi,
   w->zv.assign(m, 0.0);
   w->xprev = w->xv;
   w->yprev = w->yv;
+  w->setup_seconds = std::chrono::duration<double>(
+      std::chrono::steady_clock::now() - setup_t0).count();
   *err = 0;
   return w;
 }

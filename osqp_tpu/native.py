@@ -73,9 +73,11 @@ def _load_lib():
 
 
 def _settings_array(s: dict) -> np.ndarray:
+    # interval <= 0 passes through: the C++ engine then uses the reference's
+    # timing-based mode (first adaptation after adaptive_rho_fraction of the
+    # setup time; nondeterministic across runs, like the C core — tests that
+    # need determinism set an explicit interval or adaptive_rho=False)
     interval = int(s.get("adaptive_rho_interval", 0))
-    if interval <= 0:
-        interval = C.ADAPTIVE_RHO_FIXED
     return np.array([
         float(s.get("rho", 0.1)),
         float(s.get("sigma", 1e-6)),
@@ -95,6 +97,7 @@ def _settings_array(s: dict) -> np.ndarray:
         float(s.get("delta", 1e-6)),
         float(1 if s.get("scaled_termination", False) else 0),
         float(1 if s.get("verbose", True) else 0),
+        float(s.get("adaptive_rho_fraction", 0.4)),
     ], dtype=np.float64)
 
 
