@@ -9,8 +9,12 @@ import pytest
 import jax
 from jax.sharding import Mesh
 
+import scipy.sparse as sp
+
 import osqp_tpu as osqp
+from osqp_tpu import problems
 from osqp_tpu.batch import BatchedSolver
+from osqp_tpu.interface import Model
 from osqp_tpu.parallel import batch_mesh
 from osqp_tpu.parallel.consensus import ConsensusQP
 from osqp_tpu.settings import Settings
@@ -209,3 +213,26 @@ def test_consensus_indirect_linsys():
     model.setup(P=P, q=q, A=A, l=l, u=u, verbose=False,
                 eps_abs=1e-6, eps_rel=1e-6)
     np.testing.assert_allclose(np.asarray(out.x), model.solve().x, atol=1e-4)
+
+
+def test_batched_inverse_mode_float64():
+    """The fast explicit-inverse KKT mode is f64-capable: lane-wise agreement
+    with the single-problem Model at tight tolerance (machine-precision level
+    on well-conditioned problems)."""
+    B = 4
+    rng = np.random.RandomState(0)
+    P, q0, A, l0, u0 = problems.random_qp(n=30, m=45, seed=1)
+    q = np.tile(q0, (B, 1)) + 0.1 * rng.randn(B, len(q0))
+    l = np.tile(l0, (B, 1))
+    u = np.tile(u0, (B, 1))
+    bs = BatchedSolver(settings=Settings(verbose=False, eps_abs=1e-6,
+                                         eps_rel=1e-6, dtype=np.float64),
+                       kkt_mode="inverse")
+    out = bs.solve(P, q, A, l, u)
+    assert set(np.asarray(out.status).tolist()) == {1}
+    for i in range(B):
+        m1 = Model()
+        m1.setup(P=sp.csc_matrix(P), q=q[i], A=sp.csc_matrix(A),
+                 l=l[i], u=u[i], eps_abs=1e-6, eps_rel=1e-6, verbose=False)
+        r = m1.solve()
+        assert np.max(np.abs(np.asarray(out.x[i]) - r.x)) < 1e-9
