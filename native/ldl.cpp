@@ -2,8 +2,61 @@
 
 #include <algorithm>
 #include <queue>
+#include <set>
 
 namespace tpuqp {
+
+std::vector<idx> mindeg_order(idx n, const idx* Ap, const idx* Ai) {
+  // Elimination-graph minimum-degree ordering (greedy, exact degrees —
+  // the simple ancestor of AMD). Declines (returns empty) on problems
+  // where the quadratic-time scan or clique growth would hurt; the caller
+  // falls back to RCM. Ties break on the smallest index for determinism.
+  if (n > 6000) return {};
+  std::vector<std::set<idx>> adj(n);
+  for (idx j = 0; j < n; ++j)
+    for (idx p = Ap[j]; p < Ap[j + 1]; ++p) {
+      idx i = Ai[p];
+      if (i == j) continue;
+      adj[i].insert(j);
+      adj[j].insert(i);
+    }
+  const size_t edge_cap = 8u * 1000u * 1000u;
+  size_t edges = 0;
+  for (idx j = 0; j < n; ++j) edges += adj[j].size();
+
+  std::vector<idx> perm(n);  // perm[old] = new position
+  std::vector<char> done(n, 0);
+  for (idx k = 0; k < n; ++k) {
+    idx best = -1;
+    size_t best_deg = 0;
+    for (idx v = 0; v < n; ++v) {
+      if (done[v]) continue;
+      size_t d = adj[v].size();
+      if (best < 0 || d < best_deg) {
+        best = v;
+        best_deg = d;
+      }
+    }
+    done[best] = 1;
+    perm[best] = k;
+    // eliminate: neighbors of best become a clique
+    std::vector<idx> nb(adj[best].begin(), adj[best].end());
+    for (idx a : nb) {
+      adj[a].erase(best);
+      edges -= 1;
+    }
+    for (size_t x = 0; x < nb.size(); ++x)
+      for (size_t y = x + 1; y < nb.size(); ++y) {
+        if (adj[nb[x]].insert(nb[y]).second) {
+          adj[nb[y]].insert(nb[x]);
+          edges += 2;
+        }
+      }
+    adj[best].clear();
+    if (edges > edge_cap) return {};
+  }
+  return perm;
+}
 
 std::vector<idx> rcm_order(idx n, const idx* Ap, const idx* Ai) {
   // Build the full (symmetrized) adjacency from the upper-triangular pattern.

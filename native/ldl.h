@@ -5,8 +5,8 @@
 // up-looking LDL' with elimination-tree symbolic analysis (Liu's etree +
 // Davis-style sparse triangular reach). No pivoting: quasi-definite matrices
 // [P+sigma I, A'; A, -diag(rho)^-1] admit a stable signed LDL' with any
-// ordering. Natural ordering (no AMD) — fill-reducing permutation is a later
-// optimization.
+// ordering. Fill-reducing permutations: RCM and greedy minimum-degree, the
+// caller picking whichever gives the smaller exact symbolic fill.
 #pragma once
 #include <cstdint>
 #include <vector>
@@ -51,5 +51,10 @@ void ldl_solve(const LDLSymbolic& S, const LDLFactor& F, double* x);
 // A bandwidth-reducing (hence fill-reducing) ordering for the KKT system —
 // not as strong as AMD, but simple and effective on banded/structured QPs.
 std::vector<idx> rcm_order(idx n, const idx* Ap, const idx* Ai);
+
+// Greedy exact-minimum-degree ordering (AMD's simple ancestor). Stronger
+// than RCM on irregular sparsity. Returns empty to decline (problem too
+// large / clique growth cap hit) — caller should fall back to RCM.
+std::vector<idx> mindeg_order(idx n, const idx* Ap, const idx* Ai);
 
 }  // namespace tpuqp

@@ -102,6 +102,7 @@ struct Work {
   idx iter = 0, rho_updates = 0;
   int status = UNSOLVED, status_polish = 0;
   double setup_seconds = 0.0;
+  int ord_choice = 0;  // 0 = rcm, 1 = mindeg (fill arbitration at setup)
   std::vector<double> dx_cert, dy_cert;
 };
 
@@ -275,9 +276,31 @@ static void assemble_kkt(Work& w) {
     w.K.x.push_back(0.0);
     w.K.p[n + k + 1] = (idx)w.K.i.size();
   }
-  w.perm = rcm_order(N, w.K.p.data(), w.K.i.data());
-  build_permuted(w.K, w.perm, w.Kp, w.kmap);
-  ldl_symbolic(N, w.Kp.p.data(), w.Kp.i.data(), w.sym);
+  // fill-minimizing ordering: try RCM and minimum-degree, keep whichever
+  // yields the fewer L nonzeros (exact symbolic count via ldl_symbolic)
+  std::vector<std::vector<idx>> cand;
+  cand.push_back(rcm_order(N, w.K.p.data(), w.K.i.data()));
+  cand.push_back(mindeg_order(N, w.K.p.data(), w.K.i.data()));
+  idx best = -1, best_nz = 0;
+  CSC Kp_tmp;
+  std::vector<idx> kmap_tmp;
+  for (size_t c = 0; c < cand.size(); ++c) {
+    if (cand[c].empty()) continue;  // ordering declined (size guard)
+    build_permuted(w.K, cand[c], Kp_tmp, kmap_tmp);
+    LDLSymbolic s2;
+    if (!ldl_symbolic(N, Kp_tmp.p.data(), Kp_tmp.i.data(), s2)) continue;
+    if (best < 0 || s2.total_nz < best_nz) {
+      best = (idx)c;
+      best_nz = s2.total_nz;
+      w.Kp = std::move(Kp_tmp);
+      w.kmap = std::move(kmap_tmp);
+      w.sym = std::move(s2);
+      Kp_tmp = CSC();
+      kmap_tmp.clear();
+    }
+  }
+  w.perm = cand[best];
+  w.ord_choice = (int)best;
 }
 
 static void refresh_kkt_values(Work& w) {
@@ -489,6 +512,9 @@ static int admm_solve(Work& w) {
     std::printf("tpuqp: n = %lld, m = %lld, nnz(P) = %lld, nnz(A) = %lld\n",
                 (long long)n, (long long)m, (long long)w.P.p[n],
                 (long long)w.A.p[n]);
+    std::printf("linear system: LDL' (%s ordering), nnz(L) = %lld\n",
+                w.ord_choice == 1 ? "min-degree" : "RCM",
+                (long long)w.sym.total_nz);
     std::printf("rho = %.2e, sigma = %.2e, alpha = %.2f, eps_abs = %.1e, "
                 "eps_rel = %.1e, max_iter = %lld\n",
                 w.st.rho, w.st.sigma, w.st.alpha, w.st.eps_abs, w.st.eps_rel,

@@ -244,3 +244,31 @@ def test_native_verbose_log(capfd):
     m2.update_settings(verbose=True)
     m2.solve()
     assert "status: solved" in capfd.readouterr().out
+
+
+def test_native_ordering_arbitration(capfd):
+    """Fill-minimizing ordering choice: min-degree on irregular sparsity,
+    RCM kept on banded structures (the verbose header reports the winner);
+    solutions must match the JAX Model either way."""
+    rng = np.random.RandomState(7)
+    n, m = 120, 180
+    Pd = sp.random(n, n, density=0.04, random_state=rng)
+    P = (Pd @ Pd.T + sp.eye(n) * 0.5).tocsc()
+    A = sp.vstack([sp.random(m, n, density=0.04, random_state=rng),
+                   sp.eye(n)]).tocsc()
+    q = rng.randn(n)
+    l = -np.ones(A.shape[0])
+    u = np.ones(A.shape[0])
+    r = NativeModel().setup(P=P, q=q, A=A, l=l, u=u,
+                            eps_abs=1e-8, eps_rel=1e-8).solve()
+    out = capfd.readouterr().out
+    assert "min-degree ordering" in out
+    mm = osqp.Model()
+    mm.setup(P=P, q=q, A=A, l=l, u=u, eps_abs=1e-8, eps_rel=1e-8,
+             verbose=False)
+    assert np.max(np.abs(r.x - mm.solve().x)) < 1e-6
+
+    from osqp_tpu.problems import control_qp
+    P2, q2, A2, l2, u2 = control_qp(nx=6, nu=3, T=10, seed=0)
+    NativeModel().setup(P=P2, q=q2, A=A2, l=l2, u=u2).solve()
+    assert "(RCM ordering)" in capfd.readouterr().out
