@@ -683,19 +683,46 @@ static void polish_solution(Work& w, double admm_pri, double admm_dua) {
     K.x.push_back(-w.st.delta);
     K.p[n + j + 1] = (idx)K.i.size();
   }
+  // fill-reducing ordering for the one-shot polish factor (same
+  // arbitration as the main KKT: min-degree vs RCM by exact fill)
+  std::vector<idx> pperm = mindeg_order(N, K.p.data(), K.i.data());
+  {
+    std::vector<idx> rperm = rcm_order(N, K.p.data(), K.i.data());
+    CSC Ka;
+    std::vector<idx> ka;
+    LDLSymbolic sa, sb;
+    build_permuted(K, rperm, Ka, ka);
+    bool ra = ldl_symbolic(N, Ka.p.data(), Ka.i.data(), sa);
+    bool rb = false;
+    if (!pperm.empty()) {
+      build_permuted(K, pperm, Ka, ka);
+      rb = ldl_symbolic(N, Ka.p.data(), Ka.i.data(), sb);
+    }
+    if (!rb || (ra && sa.total_nz <= sb.total_nz)) pperm = std::move(rperm);
+  }
+  CSC Kq;
+  std::vector<idx> kq;
+  build_permuted(K, pperm, Kq, kq);
+  for (size_t t = 0; t < kq.size(); ++t) Kq.x[kq[t]] = K.x[t];
   LDLSymbolic sym;
   LDLFactor fac;
-  if (!ldl_symbolic(N, K.p.data(), K.i.data(), sym) ||
-      !ldl_numeric(N, K.p.data(), K.i.data(), K.x.data(), sym, fac)) {
+  if (!ldl_symbolic(N, Kq.p.data(), Kq.i.data(), sym) ||
+      !ldl_numeric(N, Kq.p.data(), Kq.i.data(), Kq.x.data(), sym, fac)) {
     w.status_polish = -1;
     return;
   }
+  std::vector<double> pbuf(N);
+  auto psolve = [&](double* b) {
+    for (idx i = 0; i < N; ++i) pbuf[pperm[i]] = b[i];
+    ldl_solve(sym, fac, pbuf.data());
+    for (idx i = 0; i < N; ++i) b[i] = pbuf[pperm[i]];
+  };
   std::vector<double> rhs(N), sol(N, 0.0);
   for (idx j = 0; j < n; ++j) rhs[j] = -w.q[j];
   for (idx j = 0; j < ma; ++j) rhs[n + j] = b[j];
   std::vector<double> t(N);
   t = rhs;
-  ldl_solve(sym, fac, t.data());
+  psolve(t.data());
   sol = t;
   // iterative refinement against the unregularized KKT
   std::vector<double> Px(n), Aty(n), Ax(ma), resid(N);
@@ -715,7 +742,7 @@ static void polish_solution(Work& w, double admm_pri, double admm_dua) {
     }
     for (idx j = 0; j < n; ++j) resid[j] = rhs[j] - (Px[j] + Aty[j]);
     for (idx j = 0; j < ma; ++j) resid[n + j] = rhs[n + j] - Ax[j];
-    ldl_solve(sym, fac, resid.data());
+    psolve(resid.data());
     for (idx j = 0; j < N; ++j) sol[j] += resid[j];
   }
   // candidate solution evaluated in place, then the ADMM iterates restored
