@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from .batch_core import merge_polish as _merge_polish
 from .batch_core import solve_batch as _batched_solve_impl
 from .core import dyn_from_settings, scale_problem
 from .polish import polish as _polish_fn
@@ -31,38 +32,33 @@ from . import constants as _C
 
 def _batched_polish(data: QPData, dyn, scaling_iters, delta, refine,
                     out: SolveOutput) -> SolveOutput:
-    """Vmapped active-set polish over the batch, merged per the C core's
-    acceptance rule (only lanes that Solved and strictly improved)."""
+    """Standalone vmapped active-set polish (used after the shared-structure
+    engine, whose internal scaling is the shared-Ruiz variant). The per-lane
+    re-equilibration here differs from the shared scaling only by positive
+    diagonal factors, and polish consumes ``out.ybar`` solely through its
+    SIGN (active-set guess), so the mismatch is harmless. The per-lane
+    batched engines polish inside :func:`osqp_tpu.batch_core.solve_batch`
+    instead, reusing the solve's own scaled data."""
     sdata, scal = jax.vmap(lambda d: scale_problem(d, scaling_iters))(data)
     pol = jax.vmap(
         lambda sd, sc, yb, pr, du: _polish_fn(
             sd, sc, dyn, delta, refine, yb, pr, du)
     )(sdata, scal, out.ybar, out.pri_res, out.dua_res)
-    solved = out.status == _C.SOLVED
-    ok = pol.success & solved
-    okc = ok[:, None]
-    return out._replace(
-        x=jnp.where(okc, pol.x, out.x),
-        y=jnp.where(okc, pol.y, out.y),
-        z=jnp.where(okc, pol.z, out.z),
-        obj_val=jnp.where(ok, pol.obj_val, out.obj_val),
-        pri_res=jnp.where(ok, pol.pri_res, out.pri_res),
-        dua_res=jnp.where(ok, pol.dua_res, out.dua_res),
-        status_polish=jnp.where(solved, jnp.where(ok, 1, -1), 0)
-        .astype(jnp.int32),
-    )
+    return _merge_polish(out, pol)
 
 
 _polish_batch_jit = jax.jit(_batched_polish)
 
 
 def _vmapped_solve(data: QPData, dyn, scaling_iters, x0, y0,
-                   kkt_mode: str = "inverse") -> SolveOutput:
+                   kkt_mode: str = "inverse", do_polish: bool = False,
+                   delta=1e-6, refine_iters=3) -> SolveOutput:
     """Batched solve. Implemented by the natively-batched engine
     (:mod:`osqp_tpu.batch_core`), NOT ``vmap(solve)`` — vmapping the
     while_loop would execute both branches of the adaptive-rho ``lax.cond``,
     running the batched Cholesky refactorization every iteration."""
-    return _batched_solve_impl(data, dyn, scaling_iters, x0, y0, kkt_mode)
+    return _batched_solve_impl(data, dyn, scaling_iters, x0, y0, kkt_mode,
+                               do_polish, delta, refine_iters)
 
 
 class BatchedSolver:
@@ -98,12 +94,12 @@ class BatchedSolver:
             in_shardings = (
                 QPData(P=shard(3), q=shard(2), A=shard(3),
                        l=shard(2), u=shard(2)),
-                None, None, shard(2), shard(2))
+                None, None, shard(2), shard(2), None, None)
             self._jit = jax.jit(_vmapped_solve, in_shardings=in_shardings,
-                                static_argnames=("kkt_mode",))
+                                static_argnames=("kkt_mode", "do_polish"))
         else:
             self._jit = jax.jit(_vmapped_solve,
-                                static_argnames=("kkt_mode",))
+                                static_argnames=("kkt_mode", "do_polish"))
         self._shared_jit = jax.jit(
             lambda P, A, q, l, u, dyn, sc, x0, y0, group, interpret, adaptive:
             _shared_solve_impl(P, A, q, l, u, dyn, sc, x0, y0,
@@ -184,9 +180,15 @@ class BatchedSolver:
             if A.ndim == 2:
                 A = jnp.broadcast_to(A, (B, m, n))
             data = QPData(P=Pm, q=q, A=A, l=l, u=u)
+            # polish runs inside the same jit, on the solve's own scaled data
             out = self._jit(data, dyn, jnp.int32(s.scaling), x0, y0,
-                            self.kkt_mode)
+                            self.kkt_mode, bool(s.polish),
+                            jnp.asarray(s.delta, dtype),
+                            jnp.int32(s.polish_refine_iter))
+            return out
         if s.polish:
+            # shared engine: polish separately (per-lane scaling; see
+            # _batched_polish docstring for why this is consistent)
             if Pm.ndim == 2:
                 Pm = jnp.broadcast_to(Pm, (B, n, n))
             if A.ndim == 2:

@@ -424,9 +424,30 @@ def solve_batch_fused(sdata: QPData, scal: ScalingData, dyn: DynParams,
     return _finalize(sdata, scal, dyn, final, v_check_approx)
 
 
+def merge_polish(out: SolveOutput, pol) -> SolveOutput:
+    """Merge a vmapped polish result into a batched SolveOutput per the C
+    core's acceptance rule (only lanes that Solved and strictly improved)."""
+    solved = out.status == C.SOLVED
+    ok = pol.success & solved
+    okc = ok[:, None]
+    return out._replace(
+        x=jnp.where(okc, pol.x, out.x),
+        y=jnp.where(okc, pol.y, out.y),
+        z=jnp.where(okc, pol.z, out.z),
+        obj_val=jnp.where(ok, pol.obj_val, out.obj_val),
+        pri_res=jnp.where(ok, pol.pri_res, out.pri_res),
+        dua_res=jnp.where(ok, pol.dua_res, out.dua_res),
+        status_polish=jnp.where(solved, jnp.where(ok, 1, -1), 0)
+        .astype(jnp.int32),
+    )
+
+
 def solve_batch(data: QPData, dyn: DynParams, scaling_iters, x0, y0,
-                kkt_mode: str = "inverse") -> SolveOutput:
-    """Scale (vmapped Ruiz) + batched solve. All data leaves have leading B.
+                kkt_mode: str = "inverse", do_polish: bool = False,
+                delta=1e-6, refine_iters=3) -> SolveOutput:
+    """Scale (vmapped Ruiz) + batched solve (+ optional in-jit polish reusing
+    the same scaled data — no second equilibration pass). All data leaves have
+    leading B.
 
     ``kkt_mode``: "inverse" (default) / "chol" use the XLA loop;
     "fused" uses the Pallas multi-iteration kernel (TPU; interpreted
@@ -437,6 +458,15 @@ def solve_batch(data: QPData, dyn: DynParams, scaling_iters, x0, y0,
     zb = _bmm(sdata.A, xb)
     if kkt_mode == "fused":
         interpret = jax.default_backend() not in ("tpu", "axon")
-        return solve_batch_fused(sdata, scal, dyn, xb, yb, zb,
-                                 interpret=interpret)
-    return solve_batch_scaled(sdata, scal, dyn, xb, yb, zb, kkt_mode)
+        out = solve_batch_fused(sdata, scal, dyn, xb, yb, zb,
+                                interpret=interpret)
+    else:
+        out = solve_batch_scaled(sdata, scal, dyn, xb, yb, zb, kkt_mode)
+    if do_polish:
+        from .polish import polish as _polish_fn
+        pol = jax.vmap(
+            lambda sd, sc, ybar, pr, du: _polish_fn(
+                sd, sc, dyn, delta, refine_iters, ybar, pr, du)
+        )(sdata, scal, out.ybar, out.pri_res, out.dua_res)
+        out = merge_polish(out, pol)
+    return out

@@ -80,7 +80,8 @@ UPDATABLE_SETTINGS = (
 # is a matrix-free CG solve (the large-problem path).
 # ---------------------------------------------------------------------------
 QDLDL_SOLVER = 0  # accepted for API parity; maps to the direct dense path
-MKL_PARDISO_SOLVER = 1  # accepted for API parity; maps to the direct dense path
+MKL_PARDISO_SOLVER = 1  # accepted for API parity; maps to the direct dense
+#                         path (Settings emits a UserWarning on selection)
 DIRECT_SOLVER = 0
 INDIRECT_SOLVER = 2
 

@@ -6,9 +6,11 @@ framework makes first-class:
 
   * :func:`batch_mesh` — device mesh over which the batched solver shards the
     problem axis (embarrassingly parallel, zero collectives);
-  * :mod:`osqp_tpu.parallel.consensus` — consensus-ADMM for one large
-    block-structured QP partitioned across devices, coupling reduced with
-    ``psum`` collectives over ICI inside ``shard_map``.
+  * :mod:`osqp_tpu.parallel.consensus` — ``ShardedQP``: GSPMD row-sharding of
+    one large QP's standard solve across devices (XLA inserts the ``psum``/
+    all-gather collectives over ICI);
+  * :mod:`osqp_tpu.parallel.scenario` — ``ScenarioQP``: true consensus-ADMM
+    (independent per-scenario solves coupled through a consensus variable).
 """
 
 from __future__ import annotations
@@ -19,7 +21,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
-from .consensus import ConsensusQP, solve_consensus
+from .consensus import (ConsensusQP, ShardedQP, solve_consensus,
+                        solve_sharded)
 from .scenario import ScenarioQP, ScenarioResult
 
 
@@ -32,5 +35,5 @@ def batch_mesh(n_devices: Optional[int] = None,
     return Mesh(np.array(devs), (axis_name,))
 
 
-__all__ = ["batch_mesh", "Mesh", "ConsensusQP", "solve_consensus",
-           "ScenarioQP", "ScenarioResult"]
+__all__ = ["batch_mesh", "Mesh", "ShardedQP", "solve_sharded",
+           "ConsensusQP", "solve_consensus", "ScenarioQP", "ScenarioResult"]

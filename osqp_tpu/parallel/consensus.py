@@ -1,4 +1,9 @@
-"""Distributed solve of ONE large QP across a device mesh.
+"""Distributed solve of ONE large QP across a device mesh (GSPMD sharding).
+
+Naming note: this module is *row sharding of the standard solve* — one ADMM
+iterate stream, partitioned by XLA. It is NOT consensus-ADMM; that algorithm
+(independent per-block subproblem solves coupled through a shared consensus
+variable) lives in :mod:`osqp_tpu.parallel.scenario` (``ScenarioQP``).
 
 The reference cannot do this at all (single-threaded C; SURVEY.md §2.3). The
 TPU-native design shards the *constraint* dimension m — the large axis in
@@ -37,13 +42,20 @@ def _solve_fn(data: QPData, dyn, scaling_iters, x0, y0,
     return solve(data, dyn, scaling_iters, x0, y0, linsys=linsys)
 
 
-class ConsensusQP:
-    """Row-sharded distributed QP solver.
+class ShardedQP:
+    """Row-sharded distributed QP solver (GSPMD partitioning of ONE solve).
+
+    This is *data sharding of the standard ADMM solve*, not consensus-ADMM:
+    the algorithm and iterates are identical to :class:`osqp_tpu.Model`'s —
+    XLA merely partitions the constraint axis over the mesh and inserts the
+    collectives. For the genuinely different algorithm (independent per-block
+    solves coupled by a consensus variable), see
+    :class:`osqp_tpu.parallel.scenario.ScenarioQP`.
 
     Example::
 
         mesh = Mesh(np.array(jax.devices()).reshape(-1), ("r",))
-        solver = ConsensusQP(mesh, settings=Settings())
+        solver = ShardedQP(mesh, settings=Settings())
         out = solver.solve(P, q, A, l, u)   # A row-sharded over mesh axis "r"
     """
 
@@ -98,7 +110,13 @@ class ConsensusQP:
                          self._linsys)
 
 
-def solve_consensus(mesh: Mesh, Pm, q, A, l, u,
-                    settings: Optional[Settings] = None) -> SolveOutput:
+def solve_sharded(mesh: Mesh, Pm, q, A, l, u,
+                  settings: Optional[Settings] = None) -> SolveOutput:
     """One-shot functional distributed solve."""
-    return ConsensusQP(mesh, settings=settings).solve(Pm, q, A, l, u)
+    return ShardedQP(mesh, settings=settings).solve(Pm, q, A, l, u)
+
+
+#: Backwards-compatible aliases (pre-0.2 naming; the class was never a
+#: consensus-ADMM method — see the ShardedQP docstring).
+ConsensusQP = ShardedQP
+solve_consensus = solve_sharded

@@ -5,7 +5,7 @@ framework's distributed "backend" is mesh definition + XLA collective
 lowering (SURVEY.md §5): there is no NCCL/MPI analogue to write. This module
 is the thin host-coordination layer — process initialization and pod-level
 mesh construction — on top of which BatchedSolver (batch-axis dp) and
-ConsensusQP (constraint-row sharding) run unchanged: their shardings already
+ShardedQP (constraint-row sharding; alias ConsensusQP) run unchanged: their shardings already
 reference only mesh axis names, and termination decisions are functions of
 globally-reduced residual norms, so every host takes the identical stop
 decision (the check_termination agreement property).

@@ -71,6 +71,14 @@ class Settings:
                 raise ValueError(
                     f"Wrong linear system solver! {sorted(LINSYS_SOLVER_MAP)} allowed"
                 )
+            if key == "mkl pardiso":
+                import warnings
+                warnings.warn(
+                    "linsys_solver='mkl pardiso' is accepted for API parity "
+                    "with the reference (interface.jl:749-773) but there is "
+                    "no Pardiso backend on TPU; the dense direct (Cholesky "
+                    "reduced-KKT) path is used instead.",
+                    stacklevel=3)
             self.linsys_solver = LINSYS_SOLVER_MAP[key]
         for f in (
             "rho", "sigma", "adaptive_rho_tolerance", "adaptive_rho_fraction",

@@ -124,7 +124,9 @@ class SparseModel:
 
     API-compatible subset of :class:`osqp_tpu.Model`: setup / solve /
     warm_start / update (q, l, u — value updates of P/A rebuild operators).
-    Polish is not available on this path (no factorization exists).
+    With ``polish=True`` the polish step runs matrix-free: the reduced
+    active-set system is solved by Jacobi-preconditioned CG (no factorization
+    exists on this path), same acceptance rule as the dense polish.
 
     With ``mesh`` given, the operators and constraint-dimension vectors are
     row-sharded over the mesh's first axis — the "sequence-parallel" scaling

@@ -178,7 +178,9 @@ def test_settings_validation():
         osqp.Settings(alpha=2.5)
     with _pytest.raises(ValueError):
         osqp.Settings(linsys_solver="bogus")
-    s = osqp.Settings(linsys_solver="mkl pardiso")
+    # "mkl pardiso" is accepted for parity but warns about the dense fallback
+    with _pytest.warns(UserWarning, match="Pardiso"):
+        s = osqp.Settings(linsys_solver="mkl pardiso")
     assert s.linsys_solver == osqp.constants.MKL_PARDISO_SOLVER
 
 

@@ -16,7 +16,7 @@ from osqp_tpu import problems
 from osqp_tpu.batch import BatchedSolver
 from osqp_tpu.interface import Model
 from osqp_tpu.parallel import batch_mesh
-from osqp_tpu.parallel.consensus import ConsensusQP
+from osqp_tpu.parallel.consensus import ConsensusQP, ShardedQP
 from osqp_tpu.settings import Settings
 from osqp_tpu.utils.npref import solve_np
 
@@ -99,7 +99,7 @@ def test_consensus_row_sharded_matches_single():
     A = rng.randn(m, n)
     l = -np.ones(m)
     u = np.ones(m)
-    out = ConsensusQP(mesh, settings=SETTINGS).solve(P, q, A, l, u)
+    out = ShardedQP(mesh, settings=SETTINGS).solve(P, q, A, l, u)
     assert int(out.status) == 1
 
     model = osqp.Model()
@@ -113,8 +113,13 @@ def test_consensus_row_sharded_matches_single():
 def test_consensus_rejects_indivisible_m():
     mesh = Mesh(np.array(jax.devices()), ("r",))
     with pytest.raises(ValueError):
-        ConsensusQP(mesh).solve(np.eye(2), np.zeros(2),
+        ShardedQP(mesh).solve(np.eye(2), np.zeros(2),
                                 np.ones((3, 2)), -np.ones(3), np.ones(3))
+
+
+def test_sharded_alias():
+    # pre-0.2 name kept as an alias (the class was never consensus-ADMM)
+    assert ConsensusQP is ShardedQP
 
 
 def test_batched_polish():
@@ -207,7 +212,7 @@ def test_consensus_indirect_linsys():
     u = np.ones(m)
     s = Settings(verbose=False, eps_abs=1e-6, eps_rel=1e-6,
                  linsys_solver="indirect")
-    out = ConsensusQP(mesh, settings=s).solve(P, q, A, l, u)
+    out = ShardedQP(mesh, settings=s).solve(P, q, A, l, u)
     assert int(out.status) == 1
     model = osqp.Model()
     model.setup(P=P, q=q, A=A, l=l, u=u, verbose=False,
