@@ -80,19 +80,53 @@ def main():
     log(f"cold timed runs: {['%.3f' % t for t in times]} -> {tpu_qps:.1f} QP/s")
 
     # warm-started re-solve (the receding-horizon MPC cycle: shift the cost,
-    # warm start from the previous solution)
+    # warm start from the previous solution, carry over the adapted rho —
+    # the reference's persistent-workspace economics, interface.jl:408-440)
     xw, yw = np.asarray(out.x), np.asarray(out.y)
+    rho_w = np.asarray(out.rho_estimate)
     wtimes = []
     for rep in range(3):
         q2 = q2 + 0.01 * rng.randn(*q.shape)
         t0 = time.perf_counter()
-        out = solver.solve(P, q2, A, l, u, x0=xw, y0=yw)
+        out = solver.solve(P, q2, A, l, u, x0=xw, y0=yw, rho0=rho_w)
         xw = np.asarray(out.x)
         wtimes.append(time.perf_counter() - t0)
         yw = np.asarray(out.y)
+        rho_w = np.asarray(out.rho_estimate)
     warm_qps = B / min(wtimes)
     log(f"warm re-solve runs: {['%.3f' % t for t in wtimes]} "
-        f"(iters mean {np.asarray(out.iter).mean():.1f}) -> {warm_qps:.1f} QP/s")
+        f"(iters mean {np.asarray(out.iter).mean():.1f} "
+        f"max {np.asarray(out.iter).max()}) -> {warm_qps:.1f} QP/s")
+
+    # ---- on-device throughput + MFU (excluding the host<->TPU tunnel) ----
+    # Slope method: wall time of k back-to-back solves with ONE final
+    # transfer is setup + k*t_device + t_transfer; the k-slope isolates
+    # t_device (block_until_ready alone under-reports on this runtime).
+    def chained(k, qq):
+        t0 = time.perf_counter()
+        o = None
+        for j in range(k):
+            o = solver.solve(P, qq + 1e-4 * j, A, l, u)
+        np.asarray(o.x)
+        return time.perf_counter() - t0
+
+    chained(1, q)  # warm the cache
+    t2 = min(chained(2, q) for _ in range(2))
+    t6 = min(chained(6, q) for _ in range(2))
+    t_dev = max((t6 - t2) / 4.0, 1e-9)
+    dev_qps = B / t_dev
+    # per-lane-iteration GEMM flops in the shared engine: rows of three
+    # matmuls (m,n)+(n,n)+(n,m) -> 2*(2mn+n^2) flops per lane-iteration
+    flops_per_lane_iter = 2.0 * (2 * m * n + n * n)
+    total_lane_iters = float(iters.sum())
+    tflops = total_lane_iters * flops_per_lane_iter / t_dev / 1e12
+    # v5e bf16 MXU peak ~197 TFLOP/s; f32-precision matmuls (what the
+    # solver pins) run at ~1/3 of that. Report MFU against the f32 ceiling.
+    mfu = tflops / (197.0 / 3.0)
+    dev_lane_iters_s = total_lane_iters / t_dev
+    log(f"on-device: {t_dev*1e3:.1f} ms/solve -> {dev_qps:.0f} QP/s, "
+        f"{dev_lane_iters_s/1e6:.2f}M lane-iters/s, {tflops:.2f} TFLOP/s, "
+        f"MFU(f32) ~ {100*mfu:.2f}%")
 
     # single-core CPU baseline on a subsample: the faster of the NumPy
     # reference engine and the native C++ sparse-LDL engine (the in-repo
@@ -143,6 +177,9 @@ def main():
         "vs_baseline": round(vs, 2),
         "warm_resolve_qps": round(warm_qps, 1),
         "warm_vs_baseline": round(warm_qps / cpu_warm_qps, 2),
+        "on_device_qps": round(dev_qps, 1),
+        "on_device_mlane_iters_s": round(dev_lane_iters_s / 1e6, 2),
+        "mfu_f32_pct": round(100 * mfu, 3),
     }))
 
 

@@ -17,6 +17,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .batch_core import merge_polish as _merge_polish
@@ -107,10 +108,18 @@ class BatchedSolver:
                                adaptive=adaptive),
             static_argnames=("group", "interpret", "adaptive"))
 
-    def solve(self, Pm, q, A, l, u, x0=None, y0=None) -> SolveOutput:
+    def solve(self, Pm, q, A, l, u, x0=None, y0=None,
+              rho0=None) -> SolveOutput:
         """Solve the batch. ``Pm``/``A`` may be (n,n)/(m,n) shared or
         (B,n,n)/(B,m,n) stacked; q (B,n); l/u (B,m); optional unscaled
-        warm starts x0 (B,n), y0 (B,m). Returns a batched SolveOutput."""
+        warm starts x0 (B,n), y0 (B,m). Returns a batched SolveOutput.
+
+        ``rho0``: initial rho for this solve, overriding ``settings.rho``.
+        In the reference, the C workspace's adaptively-tuned rho persists
+        across update!/solve! cycles (src/interface.jl:408-440 mutates the
+        same workspace); for the stateless batched API, pass the previous
+        solve's ``out.rho_estimate`` here to get the same warm-re-solve
+        economics (fewer rho refactorizations + fewer iterations)."""
         s = self.settings
         dtype = s.resolve_dtype()
         Pm = jnp.asarray(Pm, dtype)
@@ -123,6 +132,9 @@ class BatchedSolver:
         x0 = jnp.zeros((B, n), dtype) if x0 is None else jnp.asarray(x0, dtype)
         y0 = jnp.zeros((B, m), dtype) if y0 is None else jnp.asarray(y0, dtype)
         dyn = dyn_from_settings(s, dtype)
+        if rho0 is not None:
+            rho0 = np.median(np.asarray(rho0)) if np.ndim(rho0) else rho0
+            dyn = dyn._replace(rho_bar=jnp.asarray(float(rho0), dtype))
         if self.kkt_mode == "shared":
             if Pm.ndim != 2 or A.ndim != 2:
                 raise ValueError(

@@ -276,14 +276,13 @@ def admm_step(sdata: QPData, dyn: DynParams, carry: Carry,
     alpha = dyn.alpha
     rhs = dyn.sigma * carry.x - q + A.T @ (carry.rho_vec * carry.z - carry.y)
     if indirect:
-        # adaptive forcing term (inexact ADMM): solve the KKT system only as
-        # accurately as the current outer residuals warrant — loose early,
-        # tightening toward cg_tol as ADMM converges
-        res_scale = jnp.minimum(carry.pri_res, carry.dua_res)
-        res_scale = jnp.where(jnp.isfinite(res_scale), res_scale, 1.0)
-        tol = jnp.clip(0.05 * res_scale, dyn.cg_tol, 1e-2)
+        # Solve to cg_tol every iteration. A residual-coupled "adaptive
+        # forcing term" was measured (round 2) to stall the outer ADMM on
+        # ill-conditioned/portfolio/huber families — the inexactness is not
+        # summable once residuals plateau — while warm-starting CG from the
+        # previous x already makes tight solves cheap (~10-25 inner iters).
         xt = cg_solve(_kkt_matvec(sdata, dyn.sigma, carry.rho_vec), rhs,
-                      carry.x, tol, dyn.cg_max_iter,
+                      carry.x, dyn.cg_tol, dyn.cg_max_iter,
                       M_inv_diag=carry.L)
     else:
         xt = chol_solve(carry.L, rhs)

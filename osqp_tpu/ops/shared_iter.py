@@ -25,67 +25,90 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(scalars_ref,  # SMEM prefetch: [sigma, alpha, K]
+def _kernel(scalars_ref,  # SMEM prefetch: [sigma, alpha, K, live_groups]
             rinv_ref, a_ref, at_ref, rho_ref, rho_inv_ref,
             q_ref, l_ref, u_ref, x0_ref, y0_ref, z0_ref,
             x_ref, y_ref, z_ref, xp_ref, yp_ref,
             static_k: int = 0):
     """``static_k > 0`` unrolls the iteration loop at trace time (better
     Mosaic scheduling/ILP); otherwise the count comes from the prefetched
-    scalar and runs as a while_loop."""
+    scalar and runs as a while_loop.
+
+    ``scalars_ref[3]`` (live_groups) enables per-group early exit: the
+    driver packs still-running lanes into a prefix of the batch, and grid
+    steps past ``live_groups`` skip the iteration loop entirely (their
+    lanes are all finished; the driver discards their outputs via masking
+    anyway). This is the warm-re-solve tail-latency fix: once most lanes
+    have converged, per-chunk compute shrinks to the live prefix."""
     sigma = scalars_ref[0]
     alpha = scalars_ref[1]
     K = scalars_ref[2].astype(jnp.int32)
+    live_groups = scalars_ref[3].astype(jnp.int32)
+    g = pl.program_id(0)
 
-    Rinv = rinv_ref[:]       # (n, n) shared
-    A = a_ref[:]             # (m, n) shared
-    At = at_ref[:]           # (n, m) shared — avoids an in-kernel transpose
-    rho = rho_ref[:]         # (1, m) shared
-    rho_inv = rho_inv_ref[:]
-    q = q_ref[:]             # (G, n)
-    lb = l_ref[:]            # (G, m)
-    ub = u_ref[:]
-    pt = q.dtype
+    @pl.when(g < live_groups)
+    def _run():
+        Rinv = rinv_ref[:]       # (n, n) shared
+        A = a_ref[:]             # (m, n) shared
+        At = at_ref[:]           # (n, m) shared — avoids in-kernel transpose
+        rho = rho_ref[:]         # (1, m) shared
+        rho_inv = rho_inv_ref[:]
+        q = q_ref[:]             # (G, n)
+        lb = l_ref[:]            # (G, m)
+        ub = u_ref[:]
+        pt = q.dtype
 
-    def step(carry):
-        x, y, z = carry
-        w = rho * z - y                                   # (G, m)
-        rhs = sigma * x - q + jnp.dot(w, A, preferred_element_type=pt)
-        xt = jnp.dot(rhs, Rinv, preferred_element_type=pt)  # (G, n)
-        zt = jnp.dot(xt, At, preferred_element_type=pt)     # (G, m)
-        x_new = alpha * xt + (1.0 - alpha) * x
-        v = alpha * zt + (1.0 - alpha) * z + rho_inv * y
-        z_new = jnp.clip(v, lb, ub)
-        y_new = rho * (v - z_new)
-        return x_new, y_new, z_new
+        def step(carry):
+            x, y, z = carry
+            w = rho * z - y                                   # (G, m)
+            rhs = sigma * x - q + jnp.dot(w, A, preferred_element_type=pt)
+            xt = jnp.dot(rhs, Rinv, preferred_element_type=pt)  # (G, n)
+            zt = jnp.dot(xt, At, preferred_element_type=pt)     # (G, m)
+            x_new = alpha * xt + (1.0 - alpha) * x
+            v = alpha * zt + (1.0 - alpha) * z + rho_inv * y
+            z_new = jnp.clip(v, lb, ub)
+            y_new = rho * (v - z_new)
+            return x_new, y_new, z_new
 
-    if static_k > 0:
-        xp, yp, zp = x0_ref[:], y0_ref[:], z0_ref[:]
-        for _ in range(static_k - 1):
-            xp, yp, zp = step((xp, yp, zp))
-    else:
-        xp, yp, zp = lax.while_loop(
-            lambda c: c[0] < K - 1,
-            lambda c: (c[0] + 1,) + step(c[1:]),
-            (jnp.int32(0), x0_ref[:], y0_ref[:], z0_ref[:]))[1:]
-    x, y, z = step((xp, yp, zp))
+        if static_k > 0:
+            xp, yp, zp = x0_ref[:], y0_ref[:], z0_ref[:]
+            for _ in range(static_k - 1):
+                xp, yp, zp = step((xp, yp, zp))
+        else:
+            xp, yp, zp = lax.while_loop(
+                lambda c: c[0] < K - 1,
+                lambda c: (c[0] + 1,) + step(c[1:]),
+                (jnp.int32(0), x0_ref[:], y0_ref[:], z0_ref[:]))[1:]
+        x, y, z = step((xp, yp, zp))
 
-    xp_ref[:] = xp
-    yp_ref[:] = yp
-    x_ref[:] = x
-    y_ref[:] = y
-    z_ref[:] = z
+        xp_ref[:] = xp
+        yp_ref[:] = yp
+        x_ref[:] = x
+        y_ref[:] = y
+        z_ref[:] = z
+
+    @pl.when(g >= live_groups)
+    def _skip():
+        xp_ref[:] = x0_ref[:]
+        yp_ref[:] = y0_ref[:]
+        x_ref[:] = x0_ref[:]
+        y_ref[:] = y0_ref[:]
+        z_ref[:] = z0_ref[:]
 
 
 @functools.partial(jax.jit,
                    static_argnames=("group", "interpret", "static_k"))
 def admm_iterate_shared(Rinv, A, rho_vec, rho_inv, q, l, u, x, y, z,
                         sigma, alpha, K, group: int = 128,
-                        interpret: bool = False, static_k: int = 0):
+                        interpret: bool = False, static_k: int = 0,
+                        live_groups=None):
     """K ADMM iterations for a shared-structure batch.
 
     Shapes: Rinv (n,n), A (m,n), rho (m,), q/x (B,n), l/u/y/z (B,m);
     B must be a multiple of ``group``. Returns (x, y, z, x_prev, y_prev).
+
+    ``live_groups`` (dynamic scalar, default all): grid steps past it skip
+    the iteration loop — pair with lane compaction in the driver.
     """
     B, n = x.shape
     m = y.shape[1]
@@ -93,10 +116,13 @@ def admm_iterate_shared(Rinv, A, rho_vec, rho_inv, q, l, u, x, y, z,
     G = min(group, B)
     if B % G != 0:
         raise ValueError(f"batch {B} must be a multiple of group {G}")
+    if live_groups is None:
+        live_groups = B // G
 
     scalars = jnp.stack([jnp.asarray(sigma, dtype),
                          jnp.asarray(alpha, dtype),
-                         jnp.asarray(K, dtype)])
+                         jnp.asarray(K, dtype),
+                         jnp.asarray(live_groups, dtype)])
 
     shared2 = lambda r, c: pl.BlockSpec((r, c), lambda g, *_: (0, 0),
                                         memory_space=pltpu.VMEM)

@@ -162,6 +162,44 @@ def svm_qp(n_features=20, m_samples=50, lam=1.0, seed=0):
     return P, q, A, l, u
 
 
+def ill_conditioned_qp(n=40, m=60, cond=1e6, seed=0):
+    """Random QP with controlled condition number ``cond`` in P and badly
+    scaled constraint rows (the Maros-Meszaros suite's signature difficulty:
+    CVXQP*/VALUES-class conditioning)."""
+    rng = np.random.RandomState(seed)
+    Q, _ = np.linalg.qr(rng.randn(n, n))
+    eigs = np.logspace(0, np.log10(cond), n)
+    P = (Q * eigs) @ Q.T
+    P = 0.5 * (P + P.T)
+    q = rng.randn(n) * np.sqrt(cond)
+    row_scale = np.logspace(-3, 3, m)[rng.permutation(m)]
+    A = rng.randn(m, n) * row_scale[:, None] / np.sqrt(n)
+    c = A @ rng.randn(n) * 0.1
+    w = (0.5 + rng.rand(m)) * np.abs(c + 1.0)
+    return P, q, A, c - w, c + w
+
+
+def degenerate_qp(n=30, m=50, seed=0):
+    """Degenerate QP: rank-deficient P (rank n/2), duplicated constraint
+    rows, and redundant rows — exercising the semidefinite/primal-degenerate
+    corner that trips active-set logic (Maros-Meszaros HS- and DUAL-class
+    instances)."""
+    rng = np.random.RandomState(seed)
+    k = max(n // 2, 1)
+    M = rng.randn(n, k)
+    P = M @ M.T / n  # rank k <= n/2, PSD but singular
+    q = rng.randn(n)
+    m_base = max(m - m // 4, 1)
+    A_base = rng.randn(m_base, n) / np.sqrt(n)
+    dup = A_base[rng.randint(0, m_base, size=m - m_base)]  # duplicated rows
+    A = np.vstack([A_base, dup])
+    c = rng.randn(m_base) * 0.1
+    w = 0.5 + rng.rand(m_base)
+    l = np.concatenate([c - w, np.full(m - m_base, -np.inf)])
+    u = np.concatenate([c + w, 10.0 * np.ones(m - m_base)])  # redundant
+    return P, q, A, l, u
+
+
 #: The validation suite: name -> zero-arg constructor
 FAMILIES = {
     "random_qp": random_qp,
@@ -171,4 +209,36 @@ FAMILIES = {
     "lasso_qp": lasso_qp,
     "huber_qp": huber_qp,
     "svm_qp": svm_qp,
+    "ill_conditioned_qp": ill_conditioned_qp,
+    "degenerate_qp": degenerate_qp,
+}
+
+#: Size grid for the Maros-Meszaros-class parity sweep (scripts/conformance.py):
+#: family -> list of (label, kwargs). Sizes follow the OSQP-paper scaling
+#: pattern (each family swept over ~an order of magnitude in n).
+SIZE_GRID = {
+    "random_qp": [("S", dict(n=50, m=100)), ("M", dict(n=150, m=300)),
+                  ("L", dict(n=400, m=800))],
+    "eq_qp": [("S", dict(n=40, p=20)), ("M", dict(n=150, p=75)),
+              ("L", dict(n=500, p=250))],
+    "control_qp": [("S", dict(nx=8, nu=4, T=10)),
+                   ("M", dict(nx=8, nu=4, T=30)),
+                   ("L", dict(nx=16, nu=8, T=40))],
+    "portfolio_qp": [("S", dict(n_assets=60, k_factors=10)),
+                     ("M", dict(n_assets=200, k_factors=30)),
+                     ("L", dict(n_assets=600, k_factors=80))],
+    "lasso_qp": [("S", dict(n_features=30, m_samples=60)),
+                 ("M", dict(n_features=100, m_samples=200)),
+                 ("L", dict(n_features=250, m_samples=500))],
+    "huber_qp": [("S", dict(n_features=20, m_samples=40)),
+                 ("M", dict(n_features=60, m_samples=120)),
+                 ("L", dict(n_features=150, m_samples=300))],
+    "svm_qp": [("S", dict(n_features=20, m_samples=50)),
+               ("M", dict(n_features=60, m_samples=150)),
+               ("L", dict(n_features=150, m_samples=400))],
+    "ill_conditioned_qp": [("S", dict(n=40, m=60, cond=1e4)),
+                           ("M", dict(n=100, m=150, cond=1e6)),
+                           ("L", dict(n=250, m=400, cond=1e8))],
+    "degenerate_qp": [("S", dict(n=30, m=50)), ("M", dict(n=100, m=160)),
+                      ("L", dict(n=250, m=400))],
 }

@@ -204,6 +204,15 @@ class SCarry(NamedTuple):
     dua_res: jnp.ndarray
     rho_estimate: jnp.ndarray  # scalar
     rho_updates: jnp.ndarray   # scalar int32
+    # --- lane-compaction state (warm-re-solve tail fix): live lanes are
+    # packed into a prefix at chunk boundaries; the kernel skips whole
+    # finished groups. Per-lane data rides in the carry because it is
+    # permuted along with the iterates.
+    qb: jnp.ndarray         # (B, n) permuted per-lane cost
+    lb: jnp.ndarray         # (B, m)
+    ub: jnp.ndarray         # (B, m)
+    order: jnp.ndarray      # (B,) int32: slot -> original lane index
+    nlive: jnp.ndarray      # scalar int32: live lanes (packed prefix size)
 
 
 def _shared_rho_vec(loose, eq, rho_bar):
@@ -267,7 +276,13 @@ def solve_batch_shared(P, A, qb, lb, ub, scal: SharedScaling, dyn: DynParams,
         iters=jnp.zeros((B,), jnp.int32),
         pri_res=inf0, dua_res=inf0,
         rho_estimate=rho0, rho_updates=jnp.int32(0),
+        qb=qb, lb=lb, ub=ub,
+        order=jnp.arange(B, dtype=jnp.int32),
+        nlive=jnp.int32(B),
     )
+
+    G = min(group, B)
+    compact = B >= 2 * G  # pointless below two groups
 
     def _gany(v):
         # global any() across the (possibly device-split) batch
@@ -288,9 +303,11 @@ def solve_batch_shared(P, A, qb, lb, ub, scal: SharedScaling, dyn: DynParams,
         lx = live[:, None]
         K = jnp.minimum(chunk, dyn.max_iter - c.it)
 
+        live_groups = (c.nlive + (G - 1)) // G if compact else None
         x_new, y_new, z_new, xp, yp = admm_iterate_shared(
-            c.Rinv, A, c.rho_vec, c.rho_inv, qb, lb, ub, c.x, c.y, c.z,
-            dyn.sigma, dyn.alpha, K, group=group, interpret=interpret)
+            c.Rinv, A, c.rho_vec, c.rho_inv, c.qb, c.lb, c.ub,
+            c.x, c.y, c.z, dyn.sigma, dyn.alpha, K, group=group,
+            interpret=interpret, live_groups=live_groups)
 
         x_new = jnp.where(lx, x_new, c.x)
         y_new = jnp.where(lx, y_new, c.y)
@@ -303,7 +320,7 @@ def solve_batch_shared(P, A, qb, lb, ub, scal: SharedScaling, dyn: DynParams,
         dy = y_new - y_prev
 
         status_new, res = shared_check(
-            P, A, qb, lb, ub, scal, dyn, x_new, y_new, z_new, dx, dy,
+            P, A, c.qb, c.lb, c.ub, scal, dyn, x_new, y_new, z_new, dx, dy,
             jnp.asarray(1.0, dtype), accurate=True)
         check_on = dyn.check_termination > 0
         status = jnp.where(live & check_on, status_new, c.status)
@@ -326,6 +343,9 @@ def solve_batch_shared(P, A, qb, lb, ub, scal: SharedScaling, dyn: DynParams,
             cnt = jnp.maximum(_gsum(w), 1.0)
             est = jnp.exp(_gsum(w * jnp.log(est_lane)) / cnt)
             est = jnp.clip(est, C.RHO_MIN, C.RHO_MAX)
+            # no lanes still running -> geometric mean over an empty set
+            # would report exp(0)=1; keep the rho actually in use instead
+            est = jnp.where(_gany(still), est, c.rho_bar)
             trig = (_gany(still)
                     & ((est > c.rho_bar * dyn.adaptive_rho_tolerance)
                        | (est < c.rho_bar / dyn.adaptive_rho_tolerance)))
@@ -350,7 +370,7 @@ def solve_batch_shared(P, A, qb, lb, ub, scal: SharedScaling, dyn: DynParams,
         rho_bar2, rho_vec2, rho_inv2, Rinv2, rho_upd2, rho_est2 = lax.cond(
             do_rho, adapt, no_adapt, None)
 
-        return SCarry(
+        nxt = SCarry(
             x=x_new, y=y_new, z=z_new, x_prev=x_prev, y_prev=y_prev,
             Rinv=Rinv2, rho_vec=rho_vec2, rho_inv=rho_inv2, rho_bar=rho_bar2,
             it=it, status=status, iters=iters,
@@ -358,9 +378,43 @@ def solve_batch_shared(P, A, qb, lb, ub, scal: SharedScaling, dyn: DynParams,
             dua_res=jnp.where(live, res.dua_res, c.dua_res),
             rho_estimate=jnp.where(do_rho, rho_est2, c.rho_estimate),
             rho_updates=rho_upd2,
+            qb=c.qb, lb=c.lb, ub=c.ub, order=c.order, nlive=c.nlive,
+        )
+        if not compact:
+            return nxt
+
+        # ---- pack live lanes into the prefix (stable: preserves relative
+        # order so already-packed prefixes barely move) ----
+        dead = status != C.RUNNING
+        perm = jnp.argsort(dead, stable=True)
+        nlive = jnp.sum(~dead).astype(jnp.int32)
+
+        def _take(v):
+            return jnp.take(v, perm, axis=0)
+
+        return nxt._replace(
+            x=_take(nxt.x), y=_take(nxt.y), z=_take(nxt.z),
+            x_prev=_take(nxt.x_prev), y_prev=_take(nxt.y_prev),
+            status=_take(nxt.status), iters=_take(nxt.iters),
+            pri_res=_take(nxt.pri_res), dua_res=_take(nxt.dua_res),
+            qb=_take(nxt.qb), lb=_take(nxt.lb), ub=_take(nxt.ub),
+            order=_take(nxt.order), nlive=nlive,
         )
 
     final = lax.while_loop(cond_fun, body_fun, carry0)
+
+    if compact:
+        # restore original lane order: order[slot] = original index
+        def _scatter(v):
+            return jnp.zeros_like(v).at[final.order].set(v)
+
+        final = final._replace(
+            x=_scatter(final.x), y=_scatter(final.y), z=_scatter(final.z),
+            x_prev=_scatter(final.x_prev), y_prev=_scatter(final.y_prev),
+            status=_scatter(final.status), iters=_scatter(final.iters),
+            pri_res=_scatter(final.pri_res), dua_res=_scatter(final.dua_res),
+            qb=qb, lb=lb, ub=ub, order=jnp.arange(B, dtype=jnp.int32),
+        )
 
     # ---- finalize ----
     hit_max = final.status == C.RUNNING

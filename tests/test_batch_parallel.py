@@ -241,3 +241,48 @@ def test_batched_inverse_mode_float64():
                  l=l[i], u=u[i], eps_abs=1e-6, eps_rel=1e-6, verbose=False)
         r = m1.solve()
         assert np.max(np.abs(np.asarray(out.x[i]) - r.x)) < 1e-9
+
+
+def test_shared_compaction_staggered_exits():
+    """Lane compaction (live lanes packed into a prefix, finished groups
+    skipped in-kernel) must not change any lane's answer. Build a batch
+    with a strong difficulty gradient so exits are maximally staggered and
+    compare every lane against the single-problem Model path."""
+    B, n, m = 512, 8, 12  # 4 groups of 128 -> compaction active
+    rng = np.random.RandomState(11)
+    M = rng.randn(n, n) / np.sqrt(n)
+    P = M.T @ M + 0.1 * np.eye(n)
+    A = rng.randn(m, n) / np.sqrt(n)
+    q = rng.randn(B, n) * np.logspace(-1, 1.5, B)[:, None]
+    c = rng.randn(B, m) * 0.1
+    w = 0.5 + rng.rand(B, m)
+    l, u = c - w, c + w
+    out = BatchedSolver(settings=SETTINGS, kkt_mode="shared").solve(
+        P, q, A, l, u)
+    st = np.asarray(out.status)
+    it = np.asarray(out.iter)
+    assert np.all(st == 1)
+    assert it.max() > it.min()  # exits actually staggered
+    for i in [0, 1, 255, 256, 510, 511]:
+        model = Model()
+        model.setup(P=P, q=q[i], A=A, l=l[i], u=u[i], verbose=False,
+                    eps_abs=1e-6, eps_rel=1e-6)
+        r = model.solve()
+        np.testing.assert_allclose(np.asarray(out.x)[i], r.x, atol=1e-4)
+
+
+def test_shared_warm_resolve_rho_carryover():
+    """rho0 carry-over (reference persistent-workspace semantics,
+    interface.jl:408-440): a warm re-solve from the previous solution with
+    the adapted rho must solve every lane in fewer mean iterations."""
+    B, n, m = 256, 8, 12
+    P, q, A, l, u = make_batch(B, n, m, seed=5)
+    solver = BatchedSolver(settings=SETTINGS, kkt_mode="shared")
+    out = solver.solve(P, q, A, l, u)
+    assert np.all(np.asarray(out.status) == 1)
+    q2 = q + 0.01
+    out2 = solver.solve(P, q2, A, l, u, x0=np.asarray(out.x),
+                        y0=np.asarray(out.y),
+                        rho0=np.asarray(out.rho_estimate))
+    assert np.all(np.asarray(out2.status) == 1)
+    assert np.asarray(out2.iter).mean() < np.asarray(out.iter).mean()
