@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -295,8 +296,16 @@ def admm_step(sdata: QPData, dyn: DynParams, carry: Carry,
 
 
 @with_precision
+def _verbose_row(it, obj, pri, dua, rho):
+    """Host-side printer for the per-iteration verbose log (column format
+    matches native/solver.cpp log_iter)."""
+    print(f"{int(it):6d}  {float(obj):12.4e}  {float(pri):9.2e}  "
+          f"{float(dua):9.2e}  {float(rho):9.2e}", flush=True)
+
+
 def solve_scaled(sdata: QPData, scal: ScalingData, dyn: DynParams,
-                 x0, y0, z0, fs: FactorState, linsys: str = "direct"):
+                 x0, y0, z0, fs: FactorState, linsys: str = "direct",
+                 verbose: bool = False):
     """Run the ADMM loop on pre-scaled data from the given (scaled) start,
     reusing the cached factorization ``fs``. Returns (SolveOutput, FactorState)
     where the returned factor state reflects any in-loop adaptive-rho
@@ -382,6 +391,20 @@ def solve_scaled(sdata: QPData, scal: ScalingData, dyn: DynParams,
             trigger, refactor, keep, None)
 
         rho_est_out = jnp.where(do_rho, rho_est, c.rho_estimate)
+
+        if verbose:
+            # per-iteration log at check boundaries (reference verbose
+            # setting types.jl:129; column format matches the native
+            # engine's log_iter, native/solver.cpp). Host callback — only
+            # compiled in when verbose, so the silent path pays nothing.
+            def _emit(_):
+                obj = scal.cinv * (0.5 * x_new @ (sdata.P @ x_new)
+                                   + sdata.q @ x_new)
+                jax.debug.callback(_verbose_row, it, obj,
+                                   res.pri_res, res.dua_res, rho_bar2)
+                return jnp.int32(0)
+
+            lax.cond(do_check, _emit, lambda _: jnp.int32(0), None)
 
         return Carry(
             x=x_new, y=y_new, z=z_new, x_prev=c.x, y_prev=c.y, L=L2,

@@ -48,7 +48,7 @@ def _convexity_nan(Pbar, sigma):
     return jnp.any(jnp.isnan(L))
 
 
-_solve_jit = jax.jit(solve_scaled, static_argnames=("linsys",))
+_solve_jit = jax.jit(solve_scaled, static_argnames=("linsys", "verbose"))
 _polish_jit = jax.jit(_polish_fn)
 
 
@@ -215,11 +215,14 @@ class Model:
             y0 = jnp.zeros((self.m,), self._dtype)
             z0 = jnp.zeros((self.m,), self._dtype)
 
+        if s.verbose:
+            self._print_header()
         if s.time_limit and s.time_limit > 0:
             out, fs, elapsed_status = self._solve_time_limited(dyn, x0, y0, z0)
         else:
             out, fs = _solve_jit(self._sdata, self._scal, dyn, x0, y0, z0,
-                                 self._fs, linsys=self._linsys)
+                                 self._fs, linsys=self._linsys,
+                                 verbose=bool(s.verbose))
             jax.block_until_ready(out.x)
             elapsed_status = None
         self._fs = fs
@@ -317,7 +320,8 @@ class Model:
                     max_iter=jnp.int32(total + this_chunk),
                     final_approx=jnp.int32(1 if is_final else 0))
                 out, fs = _solve_jit(self._sdata, self._scal, dyn_c, x0, y0,
-                                     z0, fs, linsys=self._linsys)
+                                     z0, fs, linsys=self._linsys,
+                                     verbose=bool(s.verbose))
                 jax.block_until_ready(out.x)
                 total = int(out.iter)
                 rho_updates += int(out.rho_updates)
@@ -464,6 +468,19 @@ class Model:
         else:
             self._ybar = jnp.zeros((self.m,), dtype)
         self._zbar = self._sdata.A @ self._xbar
+
+    def _print_header(self) -> None:
+        """Pre-solve verbose header + iteration-log column names (the
+        reference C core prints this block before iterating; column format
+        matches native/solver.cpp)."""
+        s = self.settings
+        print(f"osqp-tpu {__version__}: n = {self.n}, m = {self.m}, "
+              f"linsys = {self._linsys}, dtype = {np.dtype(self._dtype).name}")
+        print(f"rho = {s.rho:.2e}, sigma = {s.sigma:.2e}, "
+              f"alpha = {s.alpha:.2f}, eps_abs = {s.eps_abs:.1e}, "
+              f"eps_rel = {s.eps_rel:.1e}, max_iter = {s.max_iter}")
+        print(f"{'iter':>6s}  {'objective':>12s}  {'pri_res':>9s}  "
+              f"{'dua_res':>9s}  {'rho':>9s}")
 
     def _print_summary(self, info: Info) -> None:
         """Verbose solve summary (the reference's C-side iteration log —

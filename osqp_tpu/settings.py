@@ -33,7 +33,14 @@ class Settings:
     scaling: int = 10  # number of Ruiz equilibration iterations; 0 = off
     # -- adaptive rho ------------------------------------------------------
     adaptive_rho: bool = True
-    adaptive_rho_interval: int = 0  # 0 -> deterministic fixed interval
+    #: 0 = the C core's automatic mode: timing-based when solve-time
+    #: profiling is available (the native C++ engine implements this,
+    #: matching OSQP with PROFILING=1) and a fixed deterministic interval
+    #: (constants.ADAPTIVE_RHO_FIXED) otherwise — which is what the jitted
+    #: JAX engines use, since a host clock cannot be read inside the
+    #: compiled loop. Reference tests pin an explicit interval for
+    #: determinism (SURVEY.md §2.2 adaptive-rho row).
+    adaptive_rho_interval: int = 0
     adaptive_rho_tolerance: float = 5.0
     adaptive_rho_fraction: float = 0.4  # kept for API parity (timing-based mode)
     # -- iteration / termination ------------------------------------------

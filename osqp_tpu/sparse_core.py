@@ -241,15 +241,57 @@ class SparseModel:
         t0 = time.perf_counter()
         s = self.settings
         dyn = dyn_from_settings(s, self._dtype)
-        out = _solve_sparse_jit(self._P_op, self._q, self._A_op,
-                                self._l, self._u, dyn,
-                                jnp.int32(s.scaling), self._x0, self._y0,
-                                do_polish=bool(s.polish),
-                                delta=jnp.asarray(s.delta, self._dtype),
-                                refine_iters=jnp.int32(s.polish_refine_iter))
+
+        def _run(dyn_c, x0, y0, polish):
+            return _solve_sparse_jit(
+                self._P_op, self._q, self._A_op, self._l, self._u, dyn_c,
+                jnp.int32(s.scaling), x0, y0, do_polish=polish,
+                delta=jnp.asarray(s.delta, self._dtype),
+                refine_iters=jnp.int32(s.polish_refine_iter))
+
+        forced_status = None
+        if s.time_limit and s.time_limit > 0:
+            # chunked host driver (reference contract constants.jl:17-18;
+            # same pattern as interface._solve_time_limited): jitted chunks
+            # of iterations, wall-clock check between chunks,
+            # Time_limit_reached / Interrupted when cut short.
+            chunk = s.check_termination if s.check_termination > 0 else 25
+            chunk = max(int(chunk) * 8, 100)
+            total = 0
+            x0, y0 = self._x0, self._y0
+            out = None
+            try:
+                while total < s.max_iter:
+                    this = min(chunk, s.max_iter - total)
+                    is_final = total + this >= s.max_iter
+                    dyn_c = dyn._replace(
+                        max_iter=jnp.int32(this),
+                        final_approx=jnp.int32(1 if is_final else 0))
+                    out = _run(dyn_c, x0, y0, polish=False)
+                    jax.block_until_ready(out.x)
+                    total += int(out.iter)
+                    if int(out.status) not in (C.RUNNING,
+                                               C.MAX_ITER_REACHED):
+                        break
+                    if is_final:
+                        break
+                    if (time.perf_counter() - t0) > s.time_limit:
+                        forced_status = C.TIME_LIMIT_REACHED
+                        break
+                    x0, y0 = out.x, out.y
+            except KeyboardInterrupt:
+                if out is None:
+                    raise
+                forced_status = C.INTERRUPTED
+            out = out._replace(iter=jnp.int32(total))
+            if s.polish and forced_status is None and int(out.status) == 1:
+                out = _run(dyn, out.x, out.y, polish=True)
+        else:
+            out = _run(dyn, self._x0, self._y0, polish=bool(s.polish))
         jax.block_until_ready(out.x)
         solve_time = time.perf_counter() - t0
-        status_val = int(out.status)
+        status_val = int(out.status) if forced_status is None \
+            else forced_status
         status = Info.status_from_val(status_val)
         info = Info(iter=int(out.iter), status=status, status_val=status_val,
                     status_polish=int(jnp.asarray(out.status_polish)),
