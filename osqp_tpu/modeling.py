@@ -222,6 +222,60 @@ class Problem:
         """aᵀx == rhs (EqualTo set)."""
         return self.add_constraint(coeffs, lb=rhs, ub=rhs)
 
+    def add_vector_constraint(self, rows, set_type: str, constants=None):
+        """First-class vector-set constraint: ``A_v x + b ∈ set``, the
+        reference's VectorAffineFunction-in-{Zeros, Nonnegatives,
+        Nonpositives} support (MOI_wrapper.jl:24-42, :860-873). Returns one
+        :class:`Constraint` handle per row (rows of a vector constraint map
+        to consecutive solver rows — the reference's rowranges mechanism,
+        :192-208).
+
+        ``rows``: (k, n) array-like or list of {var: coef} dicts;
+        ``set_type``: "zeros" (A_v x + b = 0), "nonnegatives"
+        (A_v x + b >= 0), or "nonpositives" (A_v x + b <= 0);
+        ``constants``: b (length k, default 0).
+        """
+        if isinstance(rows, (list, tuple)) and rows and isinstance(
+                rows[0], dict):
+            row_dicts = [dict(r) for r in rows]
+        else:
+            mat = np.asarray(rows, dtype=np.float64)
+            if mat.ndim == 1:
+                mat = mat[None, :]
+            row_dicts = [{i: float(v) for i, v in enumerate(r) if v != 0.0}
+                         for r in mat]
+        k = len(row_dicts)
+        b = (np.zeros(k) if constants is None
+             else np.asarray(constants, dtype=np.float64).ravel())
+        if b.shape[0] != k:
+            raise ValueError(f"constants must have length {k}")
+        st = set_type.lower()
+        if st == "zeros":
+            lbs, ubs = -b, -b  # a'x = -b  <=>  a'x + b = 0
+        elif st == "nonnegatives":
+            lbs, ubs = -b, np.full(k, _INF)
+        elif st == "nonpositives":
+            lbs, ubs = np.full(k, -_INF), -b
+        else:
+            raise ValueError(
+                "set_type must be 'zeros', 'nonnegatives' or 'nonpositives'")
+        # constants are folded into the bounds above (not via the per-row
+        # constant plumbing) to mirror processconstraints' folding
+        # (MOI_wrapper.jl:315-345)
+        return [self.add_constraint(r, lb=lo, ub=hi)
+                for r, lo, hi in zip(row_dicts, lbs, ubs)]
+
+    def delete_variable(self, var: int):
+        """Documented refusal, matching the reference: the MOI wrapper does
+        not support variable deletion (``MOI.delete`` of a VariableIndex is
+        not implemented in MOI_wrapper.jl — models requiring it must be
+        rebuilt). Raises ``NotImplementedError``."""
+        raise NotImplementedError(
+            "Variable deletion is not supported (parity with the reference "
+            "MOI wrapper, which implements no MOI.delete for variables). "
+            "Rebuild the Problem without the variable, or fix it to zero by "
+            "adding an equality constraint x_i == 0.")
+
     @property
     def m(self) -> int:
         return len(self._rows)
