@@ -46,6 +46,9 @@ def __getattr__(name):
     if name == "Problem":
         from .modeling import Problem
         return Problem
+    if name == "BlockTridiagSolver":
+        from .structured import BlockTridiagSolver
+        return BlockTridiagSolver
     raise AttributeError(f"module 'osqp_tpu' has no attribute '{name}'")
 
 
@@ -58,6 +61,7 @@ __all__ = [
     "SparseModel",
     "NativeModel",
     "Problem",
+    "BlockTridiagSolver",
     "problems",
     "Settings",
     "Info",

@@ -1,0 +1,161 @@
+"""Block-tridiagonal (MPC-structured) direct engine tests.
+
+The structured path is the middle ground the round-1 verdict asked for
+(SURVEY.md §7 step 9 "blocked LDL/Cholesky"): problems whose reduced KKT is
+block-tridiagonal in stage variables. Correctness is anchored two ways:
+the factor itself against dense numpy linear algebra, and full solves
+against the dense reference engine on the control family
+(reference scenarios: OSQP paper §8 'control'; statuses constants.jl:9-21).
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax.numpy as jnp
+
+import osqp_tpu as osqp
+from osqp_tpu import constants as C
+from osqp_tpu.problems import control_qp
+from osqp_tpu.structured import (
+    BandedData, BlockTridiagSolver, banded_from_scipy, blocktri_factor,
+    blocktri_solve, _ax, _aty, _px, _banded_normal_blocks,
+)
+
+
+def _control(nx=6, nu=3, T=8, seed=0):
+    P, q, A, l, u = control_qp(nx=nx, nu=nu, T=T, seed=seed)
+    return P, q, A, l, u, nx + nu
+
+
+def _banded_data(P, A, b):
+    Pd, Pe, arow, br, T, _ = banded_from_scipy(
+        sp.csc_matrix(P), sp.csc_matrix(A), b)
+    return BandedData(Pd=jnp.asarray(Pd), Pe=jnp.asarray(Pe),
+                      arow=jnp.asarray(arow), br=jnp.asarray(br, jnp.int32))
+
+
+def test_banded_operators_match_dense():
+    P, q, A, l, u, b = _control(seed=3)
+    n, m = P.shape[0], A.shape[0]
+    data = _banded_data(P, A, b)
+    rng = np.random.RandomState(0)
+    x = rng.randn(n)
+    w = rng.randn(m)
+    xb = jnp.asarray(x.reshape(-1, b))
+    np.testing.assert_allclose(np.asarray(_ax(data, xb)), A @ x, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(_aty(data, jnp.asarray(w))).ravel(), A.T @ w, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(_px(data, xb)).ravel(), P @ x, atol=1e-12)
+
+
+def test_normal_blocks_and_factor_match_dense():
+    P, q, A, l, u, b = _control(seed=1)
+    n, m = P.shape[0], A.shape[0]
+    data = _banded_data(P, A, b)
+    rng = np.random.RandomState(1)
+    rho = np.exp(rng.randn(m))
+    sigma = 1e-6
+    Dblk, Eblk = _banded_normal_blocks(data, jnp.asarray(rho), sigma)
+    R = P + sigma * np.eye(n) + A.T @ np.diag(rho) @ A
+    T = n // b
+    for t in range(T):
+        np.testing.assert_allclose(
+            np.asarray(Dblk[t]), R[t * b:(t + 1) * b, t * b:(t + 1) * b],
+            atol=1e-10)
+    for t in range(T - 1):
+        np.testing.assert_allclose(
+            np.asarray(Eblk[t]),
+            R[(t + 1) * b:(t + 2) * b, t * b:(t + 1) * b], atol=1e-10)
+
+    L, F = blocktri_factor(Dblk, Eblk)
+    rhs = rng.randn(n)
+    x = blocktri_solve(L, F, jnp.asarray(rhs.reshape(T, b)))
+    np.testing.assert_allclose(np.asarray(x).ravel(),
+                               np.linalg.solve(R, rhs), rtol=1e-8, atol=1e-8)
+    # batched rhs path (vmapped scans)
+    rhs3 = rng.randn(5, T, b)
+    xs = blocktri_solve(L, F, jnp.asarray(rhs3))
+    ref = np.linalg.solve(R, rhs3.reshape(5, n).T).T
+    np.testing.assert_allclose(np.asarray(xs).reshape(5, n), ref,
+                               rtol=1e-8, atol=1e-8)
+
+
+def test_structure_validation_errors():
+    P, q, A, l, u, b = _control()
+    with pytest.raises(ValueError, match="multiple of block"):
+        banded_from_scipy(sp.csc_matrix(P), sp.csc_matrix(A), b + 1)
+    # a dense A row spanning all stages is not banded
+    Abad = np.asarray(sp.csc_matrix(A).todense())
+    Abad[0, :] = 1.0
+    with pytest.raises(ValueError, match="at most two consecutive"):
+        banded_from_scipy(sp.csc_matrix(P), sp.csc_matrix(Abad), b)
+    # P with far-off-diagonal block
+    Pbad = P.copy()
+    Pbad[0, -1] = Pbad[-1, 0] = 0.5
+    with pytest.raises(ValueError, match="block-tridiagonal"):
+        banded_from_scipy(sp.csc_matrix(Pbad), sp.csc_matrix(A), b)
+
+
+def _kkt_violation(P, q, A, l, u, x, y):
+    stat = np.linalg.norm(P @ x + q + A.T @ y, np.inf)
+    Ax = A @ x
+    feas = max(np.max(Ax - np.minimum(u, 1e25), initial=0.0),
+               np.max(np.maximum(l, -1e25) - Ax, initial=0.0))
+    return max(stat, feas)
+
+
+def test_solve_matches_dense_model():
+    P, q, A, l, u, b = _control(nx=6, nu=3, T=8, seed=0)
+    solver = BlockTridiagSolver().setup(
+        P=sp.csc_matrix(P), A=sp.csc_matrix(A), block=b,
+        eps_abs=1e-8, eps_rel=1e-8, max_iter=20000, verbose=False)
+    out = solver.solve(q, l, u)
+    assert int(out["status"][0]) == C.SOLVED
+
+    model = osqp.Model()
+    model.setup(P=P, q=q, A=A, l=l, u=u, eps_abs=1e-8, eps_rel=1e-8,
+                max_iter=20000, verbose=False)
+    ref = model.solve()
+    assert ref.info.status == "Solved"
+    x = np.asarray(out["x"][0])
+    np.testing.assert_allclose(x, ref.x, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(out["obj_val"][0]), ref.info.obj_val,
+                               rtol=1e-6, atol=1e-8)
+    assert _kkt_violation(P, q, A, l, u, x, np.asarray(out["y"][0])) < 1e-5
+
+
+def test_batched_lanes_match_per_lane_dense():
+    P, q, A, l, u, b = _control(nx=4, nu=2, T=6, seed=2)
+    rng = np.random.RandomState(7)
+    B = 4
+    qs = q[None, :] + 0.3 * rng.randn(B, q.shape[0])
+    solver = BlockTridiagSolver().setup(
+        P=sp.csc_matrix(P), A=sp.csc_matrix(A), block=b,
+        eps_abs=1e-8, eps_rel=1e-8, max_iter=20000, verbose=False)
+    out = solver.solve(qs, np.tile(l, (B, 1)), np.tile(u, (B, 1)))
+    for i in range(B):
+        assert int(out["status"][i]) == C.SOLVED
+        model = osqp.Model()
+        model.setup(P=P, q=qs[i], A=A, l=l, u=u, eps_abs=1e-8, eps_rel=1e-8,
+                    max_iter=20000, verbose=False)
+        ref = model.solve()
+        np.testing.assert_allclose(np.asarray(out["x"][i]), ref.x,
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_warm_start_cuts_iterations():
+    P, q, A, l, u, b = _control(nx=6, nu=3, T=8, seed=4)
+    solver = BlockTridiagSolver().setup(
+        P=sp.csc_matrix(P), A=sp.csc_matrix(A), block=b,
+        eps_abs=1e-6, eps_rel=1e-6, max_iter=20000, verbose=False)
+    cold = solver.solve(q, l, u)
+    assert int(cold["status"][0]) == C.SOLVED
+    q2 = q + 1e-3 * np.random.RandomState(5).randn(q.shape[0])
+    warm = solver.solve(q2, l, u, x0=np.asarray(cold["x"]),
+                        y0=np.asarray(cold["y"]),
+                        rho0=float(cold["rho_estimate"][0]))
+    assert int(warm["status"][0]) == C.SOLVED
+    cold2 = solver.solve(q2, l, u)
+    assert int(warm["iter"][0]) <= int(cold2["iter"][0])
