@@ -25,7 +25,13 @@ from .batch_core import solve_batch as _batched_solve_impl
 from .core import dyn_from_settings, scale_problem
 from .polish import polish as _polish_fn
 from .settings import Settings
-from .shared_core import solve_shared as _shared_solve_impl
+from .shared_core import (
+    FactorCache,
+    shared_ruiz as _shared_ruiz,
+    solve_batch_shared as _shared_adaptive_impl,
+    solve_batch_shared_fixed as _shared_fixed_impl,
+    solve_shared as _shared_solve_impl,
+)
 from .types import QPData, SolveOutput
 
 from . import constants as _C
@@ -49,6 +55,38 @@ def _batched_polish(data: QPData, dyn, scaling_iters, delta, refine,
 
 
 _polish_batch_jit = jax.jit(_batched_polish)
+
+
+def _prepare_impl(Pm, A, q_absmax, scaling_iters):
+    """Jitted prepare: shared Ruiz on (P, A) with a representative |q|."""
+    return _shared_ruiz(Pm, A, q_absmax, scaling_iters)
+
+
+_prepare_jit = jax.jit(_prepare_impl)
+
+
+def _prepared_solve_impl(Pb, Ab, scal, q, l, u, x0, y0, dyn,
+                         factor0: FactorCache, group: int, interpret: bool,
+                         adaptive: bool):
+    """Jitted prepared re-solve: scale per-lane vectors with the cached
+    (D, E, c), start from the cached factor, return (out, updated factor)."""
+    from . import constants as C_
+    l = jnp.clip(l, -C_.OSQP_INFTY, C_.OSQP_INFTY)
+    u = jnp.clip(u, -C_.OSQP_INFTY, C_.OSQP_INFTY)
+    qb = scal.c * scal.D * q
+    lb = scal.E * l
+    ub = scal.E * u
+    xb = scal.Dinv * x0
+    yb = scal.c * scal.Einv * y0
+    zb = xb @ Ab.T
+    impl = _shared_adaptive_impl if adaptive else _shared_fixed_impl
+    return impl(Pb, Ab, qb, lb, ub, scal, dyn, xb, yb, zb, group=group,
+                interpret=interpret, factor0=factor0, with_factor=True)
+
+
+_prepared_solve_jit = jax.jit(
+    _prepared_solve_impl,
+    static_argnames=("group", "interpret", "adaptive"))
 
 
 def _vmapped_solve(data: QPData, dyn, scaling_iters, x0, y0,
@@ -142,6 +180,91 @@ class BatchedSolver:
                              do_polish=bool(s.polish))
         if s.polish and self.kkt_mode == "shared":
             out = self._apply_polish(Pm, A, q, l, u, dyn, dtype, out)
+        return out
+
+    # ------------------------------------------------------------------
+    # Prepared-workspace mode (persistent factor across re-solves)
+    # ------------------------------------------------------------------
+    def prepare(self, Pm, A, q=None):
+        """Set up a persistent shared workspace for repeated re-solves.
+
+        Mirrors the reference's setup!-once / update!+solve! persistent C
+        workspace (src/interface.jl:408-440): Ruiz equilibration of the
+        shared (P, A) runs ONCE here, and the KKT factorization plus the
+        adaptively-tuned rho persist across :meth:`solve_prepared` calls —
+        a warm MPC re-solve pays only for its iterations.
+
+        ``q`` (optional, (B, n) or (n,)): representative cost(s) for the
+        cost-normalization term of the scaling. Any consistent scaling is
+        valid for later q's (termination uses unscaled residuals); passing a
+        typical q just matches the one-shot path's conditioning exactly.
+
+        Requires ``kkt_mode='shared'``. Returns ``self``."""
+        if self.kkt_mode != "shared":
+            raise ValueError("prepare() requires kkt_mode='shared'")
+        s = self.settings
+        dtype = s.resolve_dtype()
+        Pm = jnp.asarray(Pm, dtype)
+        A = jnp.asarray(A, dtype)
+        if Pm.ndim != 2 or A.ndim != 2:
+            raise ValueError("prepare() takes one shared P (n,n) and A (m,n)")
+        n = Pm.shape[0]
+        m = A.shape[0]
+        if q is None:
+            q_absmax = jnp.ones((n,), dtype)
+        else:
+            q_absmax = jnp.max(jnp.abs(jnp.atleast_2d(
+                jnp.asarray(q, dtype))), axis=0)
+        Pb, Ab, scal = _prepare_jit(Pm, A, q_absmax, jnp.int32(s.scaling))
+        # rho_vec=0 never matches a real rho vector, so the first prepared
+        # solve computes the factor in-jit; later solves reuse/evolve it
+        self._prep = {
+            "P": Pm, "A": A, "Pb": Pb, "Ab": Ab, "scal": scal,
+            "factor": FactorCache(
+                Rinv=jnp.zeros((n, n), dtype),
+                rho_vec=jnp.zeros((m,), dtype),
+                rho_inv=jnp.zeros((m,), dtype),
+                rho_bar=jnp.asarray(s.rho, dtype)),
+        }
+        return self
+
+    def solve_prepared(self, q, l, u, x0=None, y0=None,
+                       rho0=None) -> SolveOutput:
+        """Re-solve the prepared workspace with new per-lane (q, l, u).
+
+        The cached scaling and KKT factor are reused; the factor adapted
+        during this solve (rho refactorizations) is carried into the next
+        call — the reference's persistent-workspace warm economics. Pass
+        ``x0``/``y0`` (unscaled) to warm-start; ``rho0`` overrides the
+        carried rho (forcing one in-jit refactorization if it differs)."""
+        if not hasattr(self, "_prep"):
+            raise RuntimeError("call prepare(P, A) first")
+        s = self.settings
+        dtype = s.resolve_dtype()
+        p = self._prep
+        q = jnp.asarray(q, dtype)
+        l = jnp.asarray(l, dtype)
+        u = jnp.asarray(u, dtype)
+        B, n = q.shape
+        m = l.shape[-1]
+        x0 = jnp.zeros((B, n), dtype) if x0 is None else jnp.asarray(x0, dtype)
+        y0 = jnp.zeros((B, m), dtype) if y0 is None else jnp.asarray(y0, dtype)
+        dyn = dyn_from_settings(s, dtype)
+        factor = p["factor"]
+        if rho0 is not None:
+            rho0 = np.median(np.asarray(rho0)) if np.ndim(rho0) else rho0
+            factor = factor._replace(rho_bar=jnp.asarray(float(rho0), dtype))
+        group = 128
+        while B % group != 0:
+            group //= 2
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        out, fac = _prepared_solve_jit(
+            p["Pb"], p["Ab"], p["scal"], q, l, u, x0, y0, dyn, factor,
+            group=group, interpret=interpret,
+            adaptive=bool(s.adaptive_rho))
+        p["factor"] = fac
+        if s.polish:
+            out = self._apply_polish(p["P"], p["A"], q, l, u, dyn, dtype, out)
         return out
 
     def _dispatch(self, Pm, q, A, l, u, x0, y0, dyn, dtype,

@@ -506,14 +506,33 @@ def solve(data: QPData, dyn: DynParams, scaling_iters=10,
     return out
 
 
+#: value-keyed memo for DynParams: each jnp scalar put is a host->device
+#: transfer (~0.1-0.5 ms each through the axon tunnel), so rebuilding the
+#: 17-leaf bundle per solve costs ~2 ms of pure dispatch — more than a warm
+#: 25-iteration batched solve executes in. Keyed by the parameter VALUES
+#: (not the Settings object), so update_settings naturally misses and
+#: rebuilds. DynParams leaves are never donated, so sharing them across
+#: solve calls is safe.
+_DYN_MEMO: dict = {}
+
+
 def dyn_from_settings(settings, dtype) -> DynParams:
-    """Build the traced parameter bundle from a Settings object."""
+    """Build the traced parameter bundle from a Settings object (memoized)."""
     interval = settings.adaptive_rho_interval
     if interval <= 0:
         interval = C.ADAPTIVE_RHO_FIXED
+    key = (jnp.dtype(dtype).name, settings.rho, settings.sigma,
+           settings.alpha, settings.eps_abs, settings.eps_rel,
+           settings.eps_prim_inf, settings.eps_dual_inf, settings.max_iter,
+           settings.check_termination, bool(settings.adaptive_rho), interval,
+           settings.adaptive_rho_tolerance, bool(settings.scaled_termination),
+           settings.cg_tol, settings.cg_max_iter)
+    hit = _DYN_MEMO.get(key)
+    if hit is not None:
+        return hit
     f = lambda v: jnp.asarray(v, dtype)
     i = lambda v: jnp.asarray(v, jnp.int32)
-    return DynParams(
+    dyn = DynParams(
         rho_bar=f(settings.rho), sigma=f(settings.sigma),
         alpha=f(settings.alpha),
         eps_abs=f(settings.eps_abs), eps_rel=f(settings.eps_rel),
@@ -530,3 +549,7 @@ def dyn_from_settings(settings, dtype) -> DynParams:
         cg_max_iter=i(settings.cg_max_iter),
         start_iter=i(0),
     )
+    if len(_DYN_MEMO) > 256:  # runaway-sweep backstop
+        _DYN_MEMO.clear()
+    _DYN_MEMO[key] = dyn
+    return dyn

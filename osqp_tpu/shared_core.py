@@ -187,6 +187,44 @@ def shared_check(P, A, qb, lb, ub, scal, dyn, x, y, z, dx, dy,
 # Driver
 # ---------------------------------------------------------------------------
 
+class FactorCache(NamedTuple):
+    """Persistent KKT factor state carried across prepared re-solves.
+
+    Mirrors the reference's C-workspace economics: ``update!``/``solve!``
+    cycles mutate one workspace whose factorization and adaptively-tuned rho
+    persist (src/interface.jl:408-440). ``Rinv`` is the shared reduced-KKT
+    inverse at ``rho_vec``; a prepared solve reuses it when the rho vector
+    implied by the current bounds classification matches, else refactorizes
+    once in-jit."""
+    Rinv: jnp.ndarray      # (n, n)
+    rho_vec: jnp.ndarray   # (m,)
+    rho_inv: jnp.ndarray   # (m,)
+    rho_bar: jnp.ndarray   # scalar
+
+
+def _init_factor(P, A, sigma, loose, eq, factor0, rho_dyn):
+    """Initial (rho_vec, rho_inv, Rinv, rho_bar) for a solve.
+
+    With ``factor0`` given, rho comes from the cache and ``Rinv`` is reused
+    when the rho vector (from the CURRENT loose/eq classification) matches
+    the cached one bit-for-bit; otherwise one refactorization runs in-jit
+    (bounds reclassification or a caller rho override)."""
+    if factor0 is None:
+        rho0 = jnp.clip(jnp.asarray(rho_dyn, P.dtype), C.RHO_MIN, C.RHO_MAX)
+        rho_vec, rho_inv = _shared_rho_vec(loose, eq, rho0)
+        return rho_vec, rho_inv, _shared_inverse(P, A, sigma, rho_vec), rho0
+    rho0 = jnp.clip(jnp.asarray(factor0.rho_bar, P.dtype),
+                    C.RHO_MIN, C.RHO_MAX)
+    rho_vec, rho_inv = _shared_rho_vec(loose, eq, rho0)
+    same = (factor0.rho_vec.shape == rho_vec.shape) and True
+    reuse = jnp.all(rho_vec == factor0.rho_vec) if same else jnp.bool_(False)
+    Rinv = lax.cond(
+        reuse,
+        lambda _: factor0.Rinv,
+        lambda _: _shared_inverse(P, A, sigma, rho_vec), None)
+    return rho_vec, rho_inv, Rinv, rho0
+
+
 class SCarry(NamedTuple):
     x: jnp.ndarray
     y: jnp.ndarray
@@ -239,28 +277,37 @@ def _shared_inverse(P, A, sigma, rho_vec):
 def solve_batch_shared(P, A, qb, lb, ub, scal: SharedScaling, dyn: DynParams,
                        x0, y0, z0, group: int = 128,
                        interpret: bool = False,
-                       axis_name=None) -> SolveOutput:
+                       axis_name=None, factor0: FactorCache = None,
+                       with_factor: bool = False) -> SolveOutput:
     """Batched solve with shared (scaled) P, A. Per-lane qb/lb/ub are scaled;
     x0/y0/z0 are scaled starts.
 
     ``axis_name``: under shard_map over the batch axis, the cross-lane
     reductions (loop continuation, aggregate rho, constraint classification)
-    become psum-based so all devices take identical decisions."""
+    become psum-based so all devices take identical decisions.
+
+    ``factor0``/``with_factor``: prepared-workspace mode — start from a
+    cached :class:`FactorCache` and/or return the final one so the caller
+    can carry the adapted factor into the next re-solve."""
     from .ops.shared_iter import admm_iterate_shared
 
     dtype = P.dtype
     B, n = x0.shape
     m = y0.shape[1]
 
-    # aggregated constraint classification
+    # aggregated constraint classification (global across devices when
+    # shard_map'd, so every device builds the identical rho_vec/factor)
     loose_b = (lb <= -C.INFTY_THRESH) & (ub >= C.INFTY_THRESH)
     eq_b = (~loose_b) & (ub - lb < C.RHO_TOL)
     loose = jnp.all(loose_b, axis=0)
     eq = jnp.all(eq_b, axis=0) & ~loose
+    if axis_name is not None:
+        ndev = lax.psum(jnp.ones((), jnp.int32), axis_name)
+        loose = lax.psum(loose.astype(jnp.int32), axis_name) == ndev
+        eq = (lax.psum(eq.astype(jnp.int32), axis_name) == ndev) & ~loose
 
-    rho0 = jnp.clip(jnp.asarray(dyn.rho_bar, dtype), C.RHO_MIN, C.RHO_MAX)
-    rho_vec, rho_inv = _shared_rho_vec(loose, eq, rho0)
-    Rinv0 = _shared_inverse(P, A, dyn.sigma, rho_vec)
+    rho_vec, rho_inv, Rinv0, rho0 = _init_factor(
+        P, A, dyn.sigma, loose, eq, factor0, dyn.rho_bar)
 
     chunk = jnp.maximum(dyn.check_termination, 1)
     rho_int = jnp.maximum(
@@ -453,7 +500,7 @@ def solve_batch_shared(P, A, qb, lb, ub, scal: SharedScaling, dyn: DynParams,
                     jnp.asarray(-jnp.inf, dtype), obj)
 
     B_ = final.x.shape[0]
-    return SolveOutput(
+    out = SolveOutput(
         x=x, y=y, z=z, status=status, iter=iters,
         pri_res=pri_res, dua_res=dua_res, obj_val=obj,
         prim_cert=prim_cert, dual_cert=dual_cert,
@@ -461,13 +508,18 @@ def solve_batch_shared(P, A, qb, lb, ub, scal: SharedScaling, dyn: DynParams,
         rho_estimate=jnp.broadcast_to(final.rho_estimate, (B_,)),
         xbar=final.x, ybar=final.y, zbar=final.z,
     )
+    if with_factor:
+        return out, FactorCache(Rinv=final.Rinv, rho_vec=final.rho_vec,
+                                rho_inv=final.rho_inv, rho_bar=final.rho_bar)
+    return out
 
 
 @with_precision
 def solve_batch_shared_fixed(P, A, qb, lb, ub, scal: SharedScaling,
                              dyn: DynParams, x0, y0, z0, group: int = 128,
                              interpret: bool = False,
-                             axis_name=None) -> SolveOutput:
+                             axis_name=None, factor0: FactorCache = None,
+                             with_factor: bool = False) -> SolveOutput:
     """Fixed-rho shared-structure solve: the ENTIRE loop runs in one Pallas
     kernel (ops/solve_kernel.py) with in-kernel residual checks and per-lane
     freezing. Used when adaptive_rho is off (no mid-solve refactorization)."""
@@ -484,9 +536,8 @@ def solve_batch_shared_fixed(P, A, qb, lb, ub, scal: SharedScaling,
         ndev = lax.psum(jnp.ones((), jnp.int32), axis_name)
         loose = lax.psum(loose.astype(jnp.int32), axis_name) == ndev
         eq = (lax.psum(eq.astype(jnp.int32), axis_name) == ndev) & ~loose
-    rho0 = jnp.clip(jnp.asarray(dyn.rho_bar, dtype), C.RHO_MIN, C.RHO_MAX)
-    rho_vec, rho_inv = _shared_rho_vec(loose, eq, rho0)
-    Rinv = _shared_inverse(P, A, dyn.sigma, rho_vec)
+    rho_vec, rho_inv, Rinv, rho0 = _init_factor(
+        P, A, dyn.sigma, loose, eq, factor0, dyn.rho_bar)
 
     st = dyn.scaled_termination.astype(bool)
     Einv_eff = jnp.where(st, jnp.ones_like(scal.Einv), scal.Einv)
@@ -539,7 +590,7 @@ def solve_batch_shared_fixed(P, A, qb, lb, ub, scal: SharedScaling,
                     | (status == C.DUAL_INFEASIBLE_INACCURATE),
                     jnp.asarray(-jnp.inf, dtype), obj)
 
-    return SolveOutput(
+    out = SolveOutput(
         x=xu, y=yu, z=zu, status=status, iter=iters,
         pri_res=pri_res, dua_res=dua_res, obj_val=obj,
         prim_cert=prim_cert, dual_cert=dual_cert,
@@ -547,6 +598,11 @@ def solve_batch_shared_fixed(P, A, qb, lb, ub, scal: SharedScaling,
         rho_estimate=jnp.broadcast_to(rho0, (B,)),
         xbar=x, ybar=y, zbar=z,
     )
+    if with_factor:
+        # fixed rho: the factor does not evolve during the solve
+        return out, FactorCache(Rinv=Rinv, rho_vec=rho_vec,
+                                rho_inv=rho_inv, rho_bar=rho0)
+    return out
 
 
 def solve_shared(P, A, q, l, u, dyn: DynParams, scaling_iters,
