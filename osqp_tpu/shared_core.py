@@ -431,22 +431,33 @@ def solve_batch_shared(P, A, qb, lb, ub, scal: SharedScaling, dyn: DynParams,
             return nxt
 
         # ---- pack live lanes into the prefix (stable: preserves relative
-        # order so already-packed prefixes barely move) ----
+        # order so already-packed prefixes barely move). The pack itself is
+        # not free (argsort + 13 gathers over the whole batch ≈ 2 kernel
+        # chunks of work), so it only runs when it unlocks at least one
+        # more skippable group — early chunks with few finished lanes pay
+        # nothing. ----
         dead = status != C.RUNNING
-        perm = jnp.argsort(dead, stable=True)
-        nlive = jnp.sum(~dead).astype(jnp.int32)
+        nlive_now = jnp.sum(~dead).astype(jnp.int32)
+        cur_groups = (c.nlive + (G - 1)) // G
+        new_groups = (nlive_now + (G - 1)) // G
+        worth_packing = new_groups < cur_groups
 
-        def _take(v):
-            return jnp.take(v, perm, axis=0)
+        def pack(t: SCarry) -> SCarry:
+            perm = jnp.argsort(dead, stable=True)
 
-        return nxt._replace(
-            x=_take(nxt.x), y=_take(nxt.y), z=_take(nxt.z),
-            x_prev=_take(nxt.x_prev), y_prev=_take(nxt.y_prev),
-            status=_take(nxt.status), iters=_take(nxt.iters),
-            pri_res=_take(nxt.pri_res), dua_res=_take(nxt.dua_res),
-            qb=_take(nxt.qb), lb=_take(nxt.lb), ub=_take(nxt.ub),
-            order=_take(nxt.order), nlive=nlive,
-        )
+            def _take(v):
+                return jnp.take(v, perm, axis=0)
+
+            return t._replace(
+                x=_take(t.x), y=_take(t.y), z=_take(t.z),
+                x_prev=_take(t.x_prev), y_prev=_take(t.y_prev),
+                status=_take(t.status), iters=_take(t.iters),
+                pri_res=_take(t.pri_res), dua_res=_take(t.dua_res),
+                qb=_take(t.qb), lb=_take(t.lb), ub=_take(t.ub),
+                order=_take(t.order), nlive=nlive_now,
+            )
+
+        return lax.cond(worth_packing, pack, lambda t: t, nxt)
 
     final = lax.while_loop(cond_fun, body_fun, carry0)
 
