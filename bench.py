@@ -190,6 +190,29 @@ def main():
     log(f"warm compute-only: {t_warm_compute*1e3:.2f} ms/solve -> "
         f"{warm_compute_qps:.0f} QP/s")
 
+    # mixed precision (Settings.mixed_precision): bf16 iteration chunks
+    # until near convergence, then f32 — same statuses/eps, single-pass MXU
+    # rate for the bulk of the iterations
+    mp_solver = BatchedSolver(
+        settings=settings.replace(mixed_precision=True), kkt_mode="shared")
+    out_mp = mp_solver.solve(Pd, qd, Ad, ld, ud)
+    mp_solved = float(np.mean(np.asarray(out_mp.status) == 1))
+    log(f"mixed-precision solved fraction: {mp_solved:.3f} "
+        f"(iters mean {np.asarray(out_mp.iter).mean():.1f})")
+
+    def chained_mp(R):
+        t0 = time.perf_counter()
+        o = None
+        for j in range(R):
+            o = mp_solver.solve(Pd, qs[j], Ad, ld, ud)
+        np.asarray(o.x)
+        return time.perf_counter() - t0
+
+    t_mp = slope_ms(chained_mp)
+    mp_compute_qps = B / t_mp
+    log(f"mixed-precision compute-only: {t_mp*1e3:.2f} ms/solve -> "
+        f"{mp_compute_qps:.0f} QP/s")
+
     # single-core CPU baseline on a subsample: the faster of the NumPy
     # reference engine and the native C++ sparse-LDL engine (the in-repo
     # OSQP-C-class implementation)
@@ -242,6 +265,7 @@ def main():
         "numpy_io_qps": round(B / t_np_io, 1),
         "compute_only_qps": round(compute_qps, 1),
         "warm_compute_only_qps": round(warm_compute_qps, 1),
+        "mixed_precision_compute_only_qps": round(mp_compute_qps, 1),
         "compute_mlane_iters_s": round(dev_lane_iters_s / 1e6, 2),
         "mfu_f32_pct": round(100 * mfu, 3),
     }))

@@ -85,7 +85,7 @@ _prepare_jit = jax.jit(_prepare_impl)
 
 def _prepared_solve_impl(Pb, Ab, scal, q, l, u, x0, y0, dyn,
                          factor0: FactorCache, group: int, interpret: bool,
-                         adaptive: bool):
+                         adaptive: bool, lowp: bool = False):
     """Jitted prepared re-solve: scale per-lane vectors with the cached
     (D, E, c), start from the cached factor, return (out, updated factor)."""
     from . import constants as C_
@@ -97,14 +97,18 @@ def _prepared_solve_impl(Pb, Ab, scal, q, l, u, x0, y0, dyn,
     xb = scal.Dinv * x0
     yb = scal.c * scal.Einv * y0
     zb = xb @ Ab.T
-    impl = _shared_adaptive_impl if adaptive else _shared_fixed_impl
-    return impl(Pb, Ab, qb, lb, ub, scal, dyn, xb, yb, zb, group=group,
-                interpret=interpret, factor0=factor0, with_factor=True)
+    if adaptive:
+        return _shared_adaptive_impl(
+            Pb, Ab, qb, lb, ub, scal, dyn, xb, yb, zb, group=group,
+            interpret=interpret, factor0=factor0, with_factor=True, lowp=lowp)
+    return _shared_fixed_impl(Pb, Ab, qb, lb, ub, scal, dyn, xb, yb, zb,
+                              group=group, interpret=interpret,
+                              factor0=factor0, with_factor=True)
 
 
 _prepared_solve_jit = jax.jit(
     _prepared_solve_impl,
-    static_argnames=("group", "interpret", "adaptive"))
+    static_argnames=("group", "interpret", "adaptive", "lowp"))
 
 
 def _vmapped_solve(data: QPData, dyn, scaling_iters, x0, y0,
@@ -158,11 +162,12 @@ class BatchedSolver:
             self._jit = jax.jit(_vmapped_solve,
                                 static_argnames=("kkt_mode", "do_polish"))
         self._shared_jit = jax.jit(
-            lambda P, A, q, l, u, dyn, sc, x0, y0, group, interpret, adaptive:
+            lambda P, A, q, l, u, dyn, sc, x0, y0, group, interpret, adaptive,
+            lowp:
             _shared_solve_impl(P, A, q, l, u, dyn, sc, x0, y0,
                                group=group, interpret=interpret,
-                               adaptive=adaptive),
-            static_argnames=("group", "interpret", "adaptive"))
+                               adaptive=adaptive, lowp=lowp),
+            static_argnames=("group", "interpret", "adaptive", "lowp"))
 
     def solve(self, Pm, q, A, l, u, x0=None, y0=None,
               rho0=None) -> SolveOutput:
@@ -277,7 +282,8 @@ class BatchedSolver:
         out, fac = _prepared_solve_jit(
             p["Pb"], p["Ab"], p["scal"], q, l, u, x0, y0, dyn, factor,
             group=group, interpret=interpret,
-            adaptive=bool(s.adaptive_rho))
+            adaptive=bool(s.adaptive_rho),
+            lowp=bool(s.mixed_precision))
         p["factor"] = fac
         if s.polish:
             out = self._apply_polish(p["P"], p["A"], q, l, u, dyn, dtype, out)
@@ -319,7 +325,8 @@ class BatchedSolver:
                                        jnp.int32(s.scaling), x0_, y0_,
                                        group=group, interpret=interpret,
                                        adaptive=bool(s.adaptive_rho),
-                                       axis_name=self.axis_name),
+                                       axis_name=self.axis_name,
+                                       lowp=bool(s.mixed_precision)),
                     mesh=self.mesh,
                     in_specs=(rspec, rspec, bspec, bspec, bspec,
                               bspec, bspec),
@@ -336,7 +343,8 @@ class BatchedSolver:
                 group = _pick_group(B, n, m, jnp.dtype(dtype).itemsize)
                 out = self._shared_jit(Pm, A, q, l, u, dyn,
                                        jnp.int32(s.scaling), x0, y0,
-                                       group, interpret, bool(s.adaptive_rho))
+                                       group, interpret, bool(s.adaptive_rho),
+                                       bool(s.mixed_precision))
         else:
             if Pm.ndim == 2:  # shared P / A broadcast across the batch
                 Pm = jnp.broadcast_to(Pm, (B, n, n))

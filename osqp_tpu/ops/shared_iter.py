@@ -26,10 +26,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(scalars_ref,  # SMEM prefetch: [sigma, alpha, K, live_groups]
-            rinv_ref, a_ref, at_ref, rho_ref, rho_inv_ref,
+            rinv_ref, a_ref, rat_ref, rho_ref, rho_inv_ref,
             q_ref, l_ref, u_ref, x0_ref, y0_ref, z0_ref,
             x_ref, y_ref, z_ref, xp_ref, yp_ref,
-            static_k: int = 0):
+            static_k: int = 0, lowp: bool = False):
     """``static_k > 0`` unrolls the iteration loop at trace time (better
     Mosaic scheduling/ILP); otherwise the count comes from the prefetched
     scalar and runs as a while_loop.
@@ -39,7 +39,19 @@ def _kernel(scalars_ref,  # SMEM prefetch: [sigma, alpha, K, live_groups]
     steps past ``live_groups`` skip the iteration loop entirely (their
     lanes are all finished; the driver discards their outputs via masking
     anyway). This is the warm-re-solve tail-latency fix: once most lanes
-    have converged, per-chunk compute shrinks to the live prefix."""
+    have converged, per-chunk compute shrinks to the live prefix.
+
+    The serial chain is two matmuls per iteration: w@A feeds one rhs, and
+    BOTH xt = rhs@R⁻¹ and zt = rhs@(R⁻¹Aᵀ) hang off that rhs as sibling
+    products (the driver precomputes R⁻¹Aᵀ once per factor). Same FLOPs as
+    the textbook xt-then-A·xt ordering, one less dependent MXU op in the
+    loop-carried path.
+
+    ``lowp=True`` runs the three products with bfloat16 inputs and f32
+    accumulation (single-pass MXU rate, ~3× the f32 ceiling). State,
+    elementwise updates, and the driver's termination checks stay f32, so
+    low-precision chunks can never fake convergence — the driver decides
+    per chunk when to drop back to f32 (see shared_core)."""
     sigma = scalars_ref[0]
     alpha = scalars_ref[1]
     K = scalars_ref[2].astype(jnp.int32)
@@ -50,20 +62,27 @@ def _kernel(scalars_ref,  # SMEM prefetch: [sigma, alpha, K, live_groups]
     def _run():
         Rinv = rinv_ref[:]       # (n, n) shared
         A = a_ref[:]             # (m, n) shared
-        At = at_ref[:]           # (n, m) shared — avoids in-kernel transpose
+        RAt = rat_ref[:]         # (n, m) shared — R⁻¹Aᵀ, precomputed
         rho = rho_ref[:]         # (1, m) shared
         rho_inv = rho_inv_ref[:]
         q = q_ref[:]             # (G, n)
         lb = l_ref[:]            # (G, m)
         ub = u_ref[:]
         pt = q.dtype
+        if lowp:
+            ct = jnp.bfloat16
+            A_c, Rinv_c, RAt_c = A.astype(ct), Rinv.astype(ct), RAt.astype(ct)
+        else:
+            A_c, Rinv_c, RAt_c = A, Rinv, RAt
 
         def step(carry):
             x, y, z = carry
             w = rho * z - y                                   # (G, m)
-            rhs = sigma * x - q + jnp.dot(w, A, preferred_element_type=pt)
-            xt = jnp.dot(rhs, Rinv, preferred_element_type=pt)  # (G, n)
-            zt = jnp.dot(xt, At, preferred_element_type=pt)     # (G, m)
+            wc = w.astype(jnp.bfloat16) if lowp else w
+            rhs = sigma * x - q + jnp.dot(wc, A_c, preferred_element_type=pt)
+            rc = rhs.astype(jnp.bfloat16) if lowp else rhs
+            xt = jnp.dot(rc, Rinv_c, preferred_element_type=pt)  # (G, n)
+            zt = jnp.dot(rc, RAt_c, preferred_element_type=pt)   # (G, m)
             x_new = alpha * xt + (1.0 - alpha) * x
             v = alpha * zt + (1.0 - alpha) * z + rho_inv * y
             z_new = jnp.clip(v, lb, ub)
@@ -97,11 +116,12 @@ def _kernel(scalars_ref,  # SMEM prefetch: [sigma, alpha, K, live_groups]
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("group", "interpret", "static_k"))
+                   static_argnames=("group", "interpret", "static_k",
+                                    "lowp"))
 def admm_iterate_shared(Rinv, A, rho_vec, rho_inv, q, l, u, x, y, z,
                         sigma, alpha, K, group: int = 128,
                         interpret: bool = False, static_k: int = 0,
-                        live_groups=None):
+                        live_groups=None, lowp: bool = False):
     """K ADMM iterations for a shared-structure batch.
 
     Shapes: Rinv (n,n), A (m,n), rho (m,), q/x (B,n), l/u/y/z (B,m);
@@ -109,6 +129,9 @@ def admm_iterate_shared(Rinv, A, rho_vec, rho_inv, q, l, u, x, y, z,
 
     ``live_groups`` (dynamic scalar, default all): grid steps past it skip
     the iteration loop — pair with lane compaction in the driver.
+
+    ``lowp``: run the iteration matmuls in bfloat16 (f32 accumulate) —
+    see the kernel docstring for the precision contract.
     """
     B, n = x.shape
     m = y.shape[1]
@@ -135,7 +158,7 @@ def admm_iterate_shared(Rinv, A, rho_vec, rho_inv, q, l, u, x, y, z,
         in_specs=[
             shared2(n, n),                # Rinv
             shared2(m, n),                # A
-            shared2(n, m),                # At
+            shared2(n, m),                # RAt = Rinv @ At
             shared2(1, m), shared2(1, m),  # rho, rho_inv
             batched(n),                   # q
             batched(m), batched(m),       # l, u
@@ -147,9 +170,14 @@ def admm_iterate_shared(Rinv, A, rho_vec, rho_inv, q, l, u, x, y, z,
         ],
     )
 
+    # Precomputed once per factor-chunk: one (n,n)@(n,m) product, ~1/B·K of
+    # the kernel's work. Full f32 precision regardless of lowp.
+    RAt = jnp.dot(Rinv, A.T, precision=lax.Precision.HIGHEST,
+                  preferred_element_type=dtype)
+
     import functools as _ft
     out = pl.pallas_call(
-        _ft.partial(_kernel, static_k=static_k),
+        _ft.partial(_kernel, static_k=static_k, lowp=lowp),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, n), dtype),
@@ -159,6 +187,6 @@ def admm_iterate_shared(Rinv, A, rho_vec, rho_inv, q, l, u, x, y, z,
             jax.ShapeDtypeStruct((B, m), dtype),
         ],
         interpret=interpret,
-    )(scalars, Rinv, A, A.T, rho_vec[None, :], rho_inv[None, :],
+    )(scalars, Rinv, A, RAt, rho_vec[None, :], rho_inv[None, :],
       q, l, u, x, y, z)
     return tuple(out)

@@ -28,7 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(scal_ref,  # SMEM: [sigma, alpha, max_iter, check_every,
             #          eps_abs, eps_rel, cinv, scaled_term]
-            rinv_ref, p_ref, a_ref, at_ref, rho_ref, rho_inv_ref,
+            rinv_ref, rat_ref, p_ref, a_ref, at_ref, rho_ref, rho_inv_ref,
             einv_ref, dinv_ref, q_ref, l_ref, u_ref,
             x0_ref, y0_ref, z0_ref,
             x_ref, y_ref, z_ref, xp_ref, yp_ref, done_ref, iters_ref):
@@ -41,9 +41,10 @@ def _kernel(scal_ref,  # SMEM: [sigma, alpha, max_iter, check_every,
     cinv = scal_ref[6]
 
     Rinv = rinv_ref[:]
+    RAt = rat_ref[:]         # R⁻¹Aᵀ precomputed — see shared_iter kernel
     P = p_ref[:]
     A = a_ref[:]
-    At = at_ref[:]
+    At = at_ref[:]           # still used by the in-kernel residual check
     rho = rho_ref[:]
     rho_inv = rho_inv_ref[:]
     Einv = einv_ref[:]       # (1, m) — ones when scaled_termination
@@ -68,8 +69,9 @@ def _kernel(scal_ref,  # SMEM: [sigma, alpha, max_iter, check_every,
 
         w = rho * z - y
         rhs = sigma * x - q + jnp.dot(w, A, preferred_element_type=pt)
+        # two sibling products off one rhs (serial chain of 2, not 3)
         xt = jnp.dot(rhs, Rinv, preferred_element_type=pt)
-        zt = jnp.dot(xt, At, preferred_element_type=pt)
+        zt = jnp.dot(rhs, RAt, preferred_element_type=pt)
         x_new = alpha * xt + (1.0 - alpha) * x
         v = alpha * zt + (1.0 - alpha) * z + rho_inv * y
         z_new = jnp.clip(v, lb, ub)
@@ -156,6 +158,7 @@ def admm_solve_shared(Rinv, P, A, rho_vec, rho_inv, Einv, Dinv, cinv,
         grid=(B // G,),
         in_specs=[
             shared2(n, n),                 # Rinv
+            shared2(n, m),                 # RAt = Rinv @ At
             shared2(n, n),                 # P
             shared2(m, n),                 # A
             shared2(n, m),                 # At
@@ -175,6 +178,8 @@ def admm_solve_shared(Rinv, P, A, rho_vec, rho_inv, Einv, Dinv, cinv,
         ],
     )
 
+    RAt = jnp.dot(Rinv, A.T, precision=lax.Precision.HIGHEST,
+                  preferred_element_type=dtype)
     out = pl.pallas_call(
         _kernel,
         grid_spec=grid_spec,
@@ -188,7 +193,7 @@ def admm_solve_shared(Rinv, P, A, rho_vec, rho_inv, Einv, Dinv, cinv,
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(scalars, Rinv, P, A, A.T, rho_vec[None, :], rho_inv[None, :],
+    )(scalars, Rinv, RAt, P, A, A.T, rho_vec[None, :], rho_inv[None, :],
       Einv[None, :], Dinv[None, :], q, l, u, x, y, z)
     x_o, y_o, z_o, xp_o, yp_o, done_o, iters_o = out
     return x_o, y_o, z_o, xp_o, yp_o, done_o[:, 0], iters_o[:, 0]

@@ -67,6 +67,13 @@ class Settings:
     cg_max_iter: int = 200
     cg_tol: float = 1e-9
     cg_precond: bool = True
+    #: Shared-structure batched engine only (adaptive-rho epoch driver):
+    #: run early iteration chunks with bf16 matmuls (single-pass MXU rate,
+    #: ~3x the f32 ceiling on v5e) and switch to f32 chunks near
+    #: convergence. Termination residuals are always f32-exact; statuses
+    #: and solutions meet the same eps as with this off — only the
+    #: iterate trajectory (and so iteration counts) may differ.
+    mixed_precision: bool = False
 
     def __post_init__(self):
         self._coerce()
@@ -99,7 +106,7 @@ class Settings:
         ):
             setattr(self, f, int(getattr(self, f)))
         for f in ("adaptive_rho", "polish", "verbose", "scaled_termination",
-                  "warm_start", "cg_precond"):
+                  "warm_start", "cg_precond", "mixed_precision"):
             setattr(self, f, bool(getattr(self, f)))
         if self.rho <= 0:
             raise ValueError("rho must be positive")

@@ -33,6 +33,15 @@ from .types import DynParams, SolveOutput
 
 _DIV_GUARD = 1e-10
 
+#: Mixed-precision phase switch: drop from bf16 to f32 chunks once the
+#: fastest still-running lane is within this factor of its termination
+#: tolerance (bf16 iteration noise would otherwise block convergence).
+_LOWP_SWITCH_RATIO = 10.0
+#: ... or once a chunk improves the global closeness ratio by less than
+#: this fraction (bf16 plateau reached before the switch ratio — e.g. very
+#: tight eps targets).
+_LOWP_STALL_FRAC = 0.95
+
 
 # ---------------------------------------------------------------------------
 # Shared scaling (modified Ruiz on shared P, A; batch-max q for cost norm)
@@ -251,6 +260,12 @@ class SCarry(NamedTuple):
     ub: jnp.ndarray         # (B, m)
     order: jnp.ndarray      # (B,) int32: slot -> original lane index
     nlive: jnp.ndarray      # scalar int32: live lanes (packed prefix size)
+    # --- mixed-precision state (``lowp`` mode): chunks run the iteration
+    # matmuls in bf16 until ``fine`` flips, then full f32. ``last_ratio``
+    # is the best (smallest) global residual-closeness ratio seen so far,
+    # for the stall detector.
+    fine: jnp.ndarray       # scalar bool: full-precision phase reached
+    last_ratio: jnp.ndarray  # scalar dtype
 
 
 def _shared_rho_vec(loose, eq, rho_bar):
@@ -278,7 +293,8 @@ def solve_batch_shared(P, A, qb, lb, ub, scal: SharedScaling, dyn: DynParams,
                        x0, y0, z0, group: int = 128,
                        interpret: bool = False,
                        axis_name=None, factor0: FactorCache = None,
-                       with_factor: bool = False) -> SolveOutput:
+                       with_factor: bool = False,
+                       lowp: bool = False) -> SolveOutput:
     """Batched solve with shared (scaled) P, A. Per-lane qb/lb/ub are scaled;
     x0/y0/z0 are scaled starts.
 
@@ -288,7 +304,15 @@ def solve_batch_shared(P, A, qb, lb, ub, scal: SharedScaling, dyn: DynParams,
 
     ``factor0``/``with_factor``: prepared-workspace mode — start from a
     cached :class:`FactorCache` and/or return the final one so the caller
-    can carry the adapted factor into the next re-solve."""
+    can carry the adapted factor into the next re-solve.
+
+    ``lowp`` (``Settings.mixed_precision``): start with bf16 iteration
+    matmuls (single-pass MXU rate) and switch to full f32 chunks once any
+    lane is within ``_LOWP_SWITCH_RATIO`` of terminating or the bf16
+    plateau is reached. Termination residuals are always computed in f32
+    from the actual iterates, so a low-precision chunk can never declare a
+    lane Solved spuriously; infeasibility certificates are deferred to the
+    full-precision phase (δx/δy of a bf16 chunk are noise-contaminated)."""
     from .ops.shared_iter import admm_iterate_shared
 
     dtype = P.dtype
@@ -326,6 +350,8 @@ def solve_batch_shared(P, A, qb, lb, ub, scal: SharedScaling, dyn: DynParams,
         qb=qb, lb=lb, ub=ub,
         order=jnp.arange(B, dtype=jnp.int32),
         nlive=jnp.int32(B),
+        fine=jnp.asarray(not lowp),
+        last_ratio=jnp.asarray(jnp.inf, dtype),
     )
 
     G = min(group, B)
@@ -351,10 +377,18 @@ def solve_batch_shared(P, A, qb, lb, ub, scal: SharedScaling, dyn: DynParams,
         K = jnp.minimum(chunk, dyn.max_iter - c.it)
 
         live_groups = (c.nlive + (G - 1)) // G if compact else None
-        x_new, y_new, z_new, xp, yp = admm_iterate_shared(
-            c.Rinv, A, c.rho_vec, c.rho_inv, c.qb, c.lb, c.ub,
-            c.x, c.y, c.z, dyn.sigma, dyn.alpha, K, group=group,
-            interpret=interpret, live_groups=live_groups)
+
+        def _kern(lp: bool):
+            return admm_iterate_shared(
+                c.Rinv, A, c.rho_vec, c.rho_inv, c.qb, c.lb, c.ub,
+                c.x, c.y, c.z, dyn.sigma, dyn.alpha, K, group=group,
+                interpret=interpret, live_groups=live_groups, lowp=lp)
+
+        if lowp:
+            x_new, y_new, z_new, xp, yp = lax.cond(
+                c.fine, lambda _: _kern(False), lambda _: _kern(True), None)
+        else:
+            x_new, y_new, z_new, xp, yp = _kern(False)
 
         x_new = jnp.where(lx, x_new, c.x)
         y_new = jnp.where(lx, y_new, c.y)
@@ -371,6 +405,14 @@ def solve_batch_shared(P, A, qb, lb, ub, scal: SharedScaling, dyn: DynParams,
             jnp.asarray(1.0, dtype), accurate=True)
         check_on = dyn.check_termination > 0
         status = jnp.where(live & check_on, status_new, c.status)
+        if lowp:
+            # bf16 phase: Solved (f32-verified residuals) and Non_convex
+            # (NaN breakdown) may be declared; infeasibility certificates
+            # wait for the full-precision phase — the stall detector
+            # guarantees genuinely infeasible batches reach it.
+            benign = ((status_new == C.SOLVED) | (status_new == C.RUNNING)
+                      | (status_new == C.NON_CONVEX))
+            status = jnp.where(c.fine | benign, status, c.status)
         iters = jnp.where(live & (status != C.RUNNING), it, c.iters)
 
         do_rho = (dyn.adaptive_rho != 0) & (it % rho_int == 0)
@@ -417,6 +459,27 @@ def solve_batch_shared(P, A, qb, lb, ub, scal: SharedScaling, dyn: DynParams,
         rho_bar2, rho_vec2, rho_inv2, Rinv2, rho_upd2, rho_est2 = lax.cond(
             do_rho, adapt, no_adapt, None)
 
+        if lowp:
+            # precision-phase switch: closeness ratio of the fastest
+            # still-running lane (global across devices when sharded)
+            den_p = jnp.maximum(dyn.eps_abs + dyn.eps_rel * res.pri_norm,
+                                _DIV_GUARD)
+            den_d = jnp.maximum(dyn.eps_abs + dyn.eps_rel * res.dua_norm,
+                                _DIV_GUARD)
+            ratio = jnp.maximum(res.pri_res / den_p, res.dua_res / den_d)
+            ratio = jnp.where(status == C.RUNNING, ratio,
+                              jnp.asarray(jnp.inf, dtype))
+            rmin = jnp.min(ratio)
+            if axis_name is not None:
+                rmin = lax.pmin(rmin, axis_name)
+            near = rmin < _LOWP_SWITCH_RATIO
+            stalled = rmin > _LOWP_STALL_FRAC * c.last_ratio
+            fine2 = c.fine | near | stalled
+            last_ratio2 = jnp.minimum(rmin, c.last_ratio)
+        else:
+            fine2 = c.fine
+            last_ratio2 = c.last_ratio
+
         nxt = SCarry(
             x=x_new, y=y_new, z=z_new, x_prev=x_prev, y_prev=y_prev,
             Rinv=Rinv2, rho_vec=rho_vec2, rho_inv=rho_inv2, rho_bar=rho_bar2,
@@ -426,6 +489,7 @@ def solve_batch_shared(P, A, qb, lb, ub, scal: SharedScaling, dyn: DynParams,
             rho_estimate=jnp.where(do_rho, rho_est2, c.rho_estimate),
             rho_updates=rho_upd2,
             qb=c.qb, lb=c.lb, ub=c.ub, order=c.order, nlive=c.nlive,
+            fine=fine2, last_ratio=last_ratio2,
         )
         if not compact:
             return nxt
@@ -618,11 +682,16 @@ def solve_batch_shared_fixed(P, A, qb, lb, ub, scal: SharedScaling,
 
 def solve_shared(P, A, q, l, u, dyn: DynParams, scaling_iters,
                  x0, y0, group: int = 128, interpret: bool = False,
-                 adaptive: bool = True, axis_name=None) -> SolveOutput:
+                 adaptive: bool = True, axis_name=None,
+                 lowp: bool = False) -> SolveOutput:
     """One-shot shared-structure solve: scale shared data once, solve batch.
 
     P (n,n), A (m,n) shared; q (B,n), l/u (B,m) per-lane; x0/y0 unscaled.
-    ``adaptive=False`` selects the single-kernel fixed-rho path."""
+    ``adaptive=False`` selects the single-kernel fixed-rho path.
+
+    ``lowp`` (mixed precision) applies to the adaptive epoch engine only;
+    the fixed-rho single-kernel path keeps its one precision for the whole
+    in-kernel loop (per-chunk phase switching needs the epoch driver)."""
     dtype = P.dtype
     l = jnp.clip(l, -C.OSQP_INFTY, C.OSQP_INFTY)
     u = jnp.clip(u, -C.OSQP_INFTY, C.OSQP_INFTY)
@@ -643,4 +712,4 @@ def solve_shared(P, A, q, l, u, dyn: DynParams, scaling_iters,
                                         axis_name=axis_name)
     return solve_batch_shared(Pb, Ab, qb, lb, ub, scal, dyn, xb, yb, zb,
                               group=group, interpret=interpret,
-                              axis_name=axis_name)
+                              axis_name=axis_name, lowp=lowp)

@@ -286,3 +286,44 @@ def test_shared_warm_resolve_rho_carryover():
                         rho0=np.asarray(out.rho_estimate))
     assert np.all(np.asarray(out2.status) == 1)
     assert np.asarray(out2.iter).mean() < np.asarray(out.iter).mean()
+
+
+def test_shared_mixed_precision_matches_f32():
+    """mixed_precision=True (bf16 early chunks, f32 finish) must reach the
+    same statuses and eps-accurate solutions as the all-f32 engine; lane 0
+    cross-checked against the single-problem Model path."""
+    B, n, m = 256, 8, 12
+    P, q, A, l, u = make_batch(B, n, m, seed=7)
+    s_mp = Settings(verbose=False, eps_abs=1e-6, eps_rel=1e-6,
+                    mixed_precision=True)
+    out = BatchedSolver(settings=s_mp, kkt_mode="shared").solve(P, q, A, l, u)
+    ref = BatchedSolver(settings=SETTINGS, kkt_mode="shared").solve(
+        P, q, A, l, u)
+    assert np.all(np.asarray(out.status) == 1)
+    np.testing.assert_allclose(np.asarray(out.x), np.asarray(ref.x),
+                               atol=1e-4)
+    model = Model()
+    model.setup(P=P, q=q[0], A=A, l=l[0], u=u[0], verbose=False,
+                eps_abs=1e-6, eps_rel=1e-6)
+    r = model.solve()
+    np.testing.assert_allclose(np.asarray(out.x)[0], r.x, atol=1e-4)
+
+
+def test_shared_mixed_precision_infeasible_lane():
+    """Infeasibility certificates are deferred to the f32 phase under
+    mixed precision — the infeasible lane must still be detected."""
+    n, m = 2, 2
+    B = 4
+    P = np.zeros((n, n))
+    A = np.array([[1.0, 0.0], [1.0, 0.0]])
+    q = np.tile(np.array([1.0, 0.0]), (B, 1))
+    l = np.tile(np.array([0.0, 0.0]), (B, 1))
+    u = np.tile(np.array([1.0, 1.0]), (B, 1))
+    l[1] = [1.0, 3.0]   # row bounds incompatible through the shared A row
+    u[1] = [2.0, 4.0]
+    s_mp = Settings(verbose=False, eps_abs=1e-6, eps_rel=1e-6,
+                    mixed_precision=True)
+    out = BatchedSolver(settings=s_mp, kkt_mode="shared").solve(P, q, A, l, u)
+    st = np.asarray(out.status)
+    assert st[0] == 1 and st[2] == 1 and st[3] == 1
+    assert st[1] == -3  # Primal_infeasible, found after the phase switch
