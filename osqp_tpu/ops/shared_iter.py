@@ -72,17 +72,26 @@ def _kernel(scalars_ref,  # SMEM prefetch: [sigma, alpha, K, live_groups]
         if lowp:
             ct = jnp.bfloat16
             A_c, Rinv_c, RAt_c = A.astype(ct), Rinv.astype(ct), RAt.astype(ct)
+            # the ambient matmul precision is pinned to f32 (linalg
+            # precision scope); Mosaic rejects fp32 contract precision on
+            # bf16 operands, so the low-precision dots must request DEFAULT
+            # (bf16 multiply, f32 accumulate via preferred_element_type)
+            prec = lax.Precision.DEFAULT
         else:
             A_c, Rinv_c, RAt_c = A, Rinv, RAt
+            prec = None
 
         def step(carry):
             x, y, z = carry
             w = rho * z - y                                   # (G, m)
             wc = w.astype(jnp.bfloat16) if lowp else w
-            rhs = sigma * x - q + jnp.dot(wc, A_c, preferred_element_type=pt)
+            rhs = sigma * x - q + jnp.dot(wc, A_c, preferred_element_type=pt,
+                                          precision=prec)
             rc = rhs.astype(jnp.bfloat16) if lowp else rhs
-            xt = jnp.dot(rc, Rinv_c, preferred_element_type=pt)  # (G, n)
-            zt = jnp.dot(rc, RAt_c, preferred_element_type=pt)   # (G, m)
+            xt = jnp.dot(rc, Rinv_c, preferred_element_type=pt,
+                         precision=prec)                      # (G, n)
+            zt = jnp.dot(rc, RAt_c, preferred_element_type=pt,
+                         precision=prec)                      # (G, m)
             x_new = alpha * xt + (1.0 - alpha) * x
             v = alpha * zt + (1.0 - alpha) * z + rho_inv * y
             z_new = jnp.clip(v, lb, ub)
