@@ -49,6 +49,12 @@ def __getattr__(name):
     if name == "BlockTridiagSolver":
         from .structured import BlockTridiagSolver
         return BlockTridiagSolver
+    if name == "solve_qp":
+        from .diff import solve_qp
+        return solve_qp
+    if name == "make_qp_layer":
+        from .diff import make_qp_layer
+        return make_qp_layer
     raise AttributeError(f"module 'osqp_tpu' has no attribute '{name}'")
 
 
@@ -62,6 +68,8 @@ __all__ = [
     "NativeModel",
     "Problem",
     "BlockTridiagSolver",
+    "solve_qp",
+    "make_qp_layer",
     "problems",
     "Settings",
     "Info",
