@@ -58,6 +58,231 @@ std::vector<idx> mindeg_order(idx n, const idx* Ap, const idx* Ai) {
   return perm;
 }
 
+std::vector<idx> amd_order(idx n, const idx* Ap, const idx* Ai) {
+  // Approximate-minimum-degree ordering on the quotient graph (the AMD
+  // family: eliminated pivots become *elements* whose member lists stand in
+  // for the fill clique; neighbor degrees are updated with the classic
+  // approximate external-degree bound; indistinguishable variables merge
+  // into supervariables; elements wholly covered by the new element are
+  // absorbed). Near-linear in practice — no size guard needed, unlike the
+  // exact-degree mindeg_order above. Deterministic for a fixed input.
+  if (n <= 0) return {};
+  // symmetrized adjacency of the upper-triangular input
+  std::vector<std::vector<idx>> Avars(n), Aelems(n), Emem(n);
+  for (idx j = 0; j < n; ++j)
+    for (idx p = Ap[j]; p < Ap[j + 1]; ++p) {
+      idx i = Ai[p];
+      if (i == j) continue;
+      Avars[i].push_back(j);
+      Avars[j].push_back(i);
+    }
+
+  std::vector<idx> nv(n, 1);        // supervariable weight; 0 = dead/elem
+  std::vector<char> is_elem(n, 0);  // node became an element (eliminated)
+  std::vector<idx> esize(n, 0);     // weight of an element's live members
+  std::vector<idx> deg(n);          // approximate external degree (weights)
+  std::vector<idx> member_next(n, -1), member_tail(n);  // supervar chains
+  for (idx v = 0; v < n; ++v) member_tail[v] = v;
+
+  // degree buckets (doubly linked)
+  std::vector<idx> bhead(n + 1, -1), bnext(n, -1), bprev(n, -1);
+  auto bucket_insert = [&](idx v, idx d) {
+    bnext[v] = bhead[d];
+    bprev[v] = -1;
+    if (bhead[d] >= 0) bprev[bhead[d]] = v;
+    bhead[d] = v;
+  };
+  auto bucket_remove = [&](idx v, idx d) {
+    if (bprev[v] >= 0) bnext[bprev[v]] = bnext[v];
+    else bhead[d] = bnext[v];
+    if (bnext[v] >= 0) bprev[bnext[v]] = bprev[v];
+  };
+  for (idx v = 0; v < n; ++v) {
+    deg[v] = (idx)Avars[v].size();  // exact at start (no duplicates)
+    if (deg[v] > n - 1) deg[v] = n - 1;
+    bucket_insert(v, deg[v]);
+  }
+
+  std::vector<idx> stamp(n, -1), wdiff(n, 0);  // per-pivot element scratch
+  std::vector<idx> vstamp(n, -1);              // per-pivot variable marks
+  std::vector<idx> hash_stamp(n, -1), hash_head(n, -1), hash_next(n, -1);
+  std::vector<idx> Lp;
+  std::vector<idx> perm(n);
+  idx k = 0, mindeg = 0, gen = 0;
+
+  while (k < n) {
+    // --- pick the minimum-approximate-degree supervariable ---
+    while (mindeg <= n && bhead[mindeg] < 0) ++mindeg;
+    idx p = bhead[mindeg];
+    bucket_remove(p, mindeg);
+    ++gen;
+
+    // --- form the new element L_p = (A_p ∪ ⋃ L_e) \ {p} ---
+    Lp.clear();
+    vstamp[p] = gen;
+    for (idx v : Avars[p])
+      if (nv[v] > 0 && vstamp[v] != gen) {
+        vstamp[v] = gen;
+        Lp.push_back(v);
+      }
+    for (idx e : Aelems[p])
+      if (is_elem[e] == 1) {
+        for (idx v : Emem[e])
+          if (nv[v] > 0 && vstamp[v] != gen) {
+            vstamp[v] = gen;
+            Lp.push_back(v);
+          }
+        is_elem[e] = 2;  // absorbed into p
+        Emem[e].clear();
+        Emem[e].shrink_to_fit();
+      }
+    Avars[p].clear();
+    Aelems[p].clear();
+
+    // output p's supervariable members
+    idx nvp = nv[p];
+    for (idx v = p; v != -1; v = member_next[v]) perm[v] = k++;
+    nv[p] = 0;
+    is_elem[p] = 1;
+    idx degLp = 0;
+    for (idx v : Lp) degLp += nv[v];
+    esize[p] = degLp;
+    Emem[p] = Lp;  // copy (Lp reused next pivot)
+
+    if (Lp.empty()) continue;
+
+    // --- pass 1: prune neighbor lists, set up |L_e \ L_p| counters ---
+    for (idx v : Lp) {
+      // drop absorbed elements; count |L_e \ L_p| via weight subtraction
+      auto& Ev = Aelems[v];
+      size_t out = 0;
+      for (idx e : Ev) {
+        if (is_elem[e] != 1) continue;  // absorbed — drop
+        Ev[out++] = e;
+        if (stamp[e] != gen) {
+          stamp[e] = gen;
+          wdiff[e] = esize[e];
+        }
+        wdiff[e] -= nv[v];
+      }
+      Ev.resize(out);
+      Ev.push_back(p);
+      // prune A_v: drop dead vars, members of L_p (now covered by element
+      // p), and p itself
+      auto& Va = Avars[v];
+      out = 0;
+      for (idx u : Va)
+        if (nv[u] > 0 && vstamp[u] != gen) Va[out++] = u;
+      Va.resize(out);
+    }
+
+    // --- pass 2: approximate degrees + supervariable hashing ---
+    ++gen;  // fresh generation for hash-bucket stamps
+    for (idx v : Lp) {
+      idx av = 0;
+      for (idx u : Avars[v]) av += nv[u];
+      idx d = av + (degLp - nv[v]);
+      size_t hsh = (size_t)p;
+      for (idx e : Aelems[v]) {
+        if (e != p) d += (stamp[e] == gen - 1) ? wdiff[e] : esize[e];
+        if (e != p) hsh += (size_t)e;
+      }
+      for (idx u : Avars[v]) hsh += (size_t)u;
+      idx cap = n - k > 0 ? (idx)(n - k) : 1;
+      idx old_bound = deg[v] + degLp - nv[v];
+      if (d > old_bound) d = old_bound;
+      if (d > cap) d = cap;
+      if (d < 0) d = 0;
+      bucket_remove(v, deg[v]);
+      deg[v] = d;
+      bucket_insert(v, d);
+      if (d < mindeg) mindeg = d;
+      // hash bucket for indistinguishability detection
+      idx h = (idx)(hsh % (size_t)n);
+      if (hash_stamp[h] != gen) {
+        hash_stamp[h] = gen;
+        hash_head[h] = -1;
+      }
+      hash_next[v] = hash_head[h];
+      hash_head[h] = v;
+    }
+
+    // --- aggressive absorption: elements fully covered by L_p ---
+    for (idx v : Lp) {
+      auto& Ev = Aelems[v];
+      size_t out = 0;
+      for (idx e : Ev) {
+        if (e != p && stamp[e] == gen - 1 && wdiff[e] <= 0) {
+          if (is_elem[e] == 1) {
+            is_elem[e] = 2;
+            Emem[e].clear();
+            Emem[e].shrink_to_fit();
+          }
+          continue;
+        }
+        Ev[out++] = e;
+      }
+      Ev.resize(out);
+    }
+
+    // --- supervariable merging: identical (A_v, E_v) ⇒ merge ---
+    for (idx vi = 0; vi < (idx)Lp.size(); ++vi) {
+      idx v = Lp[vi];
+      if (nv[v] <= 0) continue;
+      idx h = -1;
+      {
+        size_t hsh = 0;
+        for (idx e : Aelems[v]) hsh += (size_t)e;
+        for (idx u : Avars[v]) hsh += (size_t)u;
+        h = (idx)(hsh % (size_t)n);
+      }
+      if (hash_stamp[h] != gen || hash_head[h] != v) continue;
+      // v heads its bucket: compare against the rest of the chain
+      for (idx u = hash_next[v]; u != -1; u = hash_next[u]) {
+        if (nv[u] <= 0 || u == v) continue;
+        if (Avars[u].size() != Avars[v].size()
+            || Aelems[u].size() != Aelems[v].size())
+          continue;
+        // mark v's lists, check u's lists hit only marks
+        ++gen;
+        for (idx x : Avars[v]) vstamp[x] = gen;
+        for (idx x : Aelems[v]) stamp[x] = gen;
+        bool same = true;
+        for (idx x : Avars[u])
+          if (vstamp[x] != gen) {
+            same = false;
+            break;
+          }
+        if (same)
+          for (idx x : Aelems[u])
+            if (stamp[x] != gen) {
+              same = false;
+              break;
+            }
+        if (!same) continue;
+        // merge u into v (weight moves inside shared elements: esize
+        // conserved); u's weight no longer counts toward v's external
+        // degree
+        bucket_remove(u, deg[u]);
+        bucket_remove(v, deg[v]);
+        deg[v] = deg[v] > nv[u] ? deg[v] - nv[u] : 0;
+        bucket_insert(v, deg[v]);
+        if (deg[v] < mindeg) mindeg = deg[v];
+        member_next[member_tail[v]] = u;
+        member_tail[v] = member_tail[u];
+        nv[v] += nv[u];
+        nv[u] = 0;
+        Avars[u].clear();
+        Avars[u].shrink_to_fit();
+        Aelems[u].clear();
+        Aelems[u].shrink_to_fit();
+      }
+    }
+    (void)nvp;
+  }
+  return perm;
+}
+
 std::vector<idx> rcm_order(idx n, const idx* Ap, const idx* Ai) {
   // Build the full (symmetrized) adjacency from the upper-triangular pattern.
   std::vector<idx> deg(n, 0);

@@ -57,4 +57,9 @@ std::vector<idx> rcm_order(idx n, const idx* Ap, const idx* Ai);
 // large / clique growth cap hit) — caller should fall back to RCM.
 std::vector<idx> mindeg_order(idx n, const idx* Ap, const idx* Ai);
 
+// Approximate-minimum-degree ordering (quotient graph, supervariables,
+// element absorption — the AMD family). Near-linear: never declines, scales
+// to the problem sizes where mindeg_order's exact-degree scan cannot go.
+std::vector<idx> amd_order(idx n, const idx* Ap, const idx* Ai);
+
 }  // namespace tpuqp

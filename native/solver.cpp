@@ -102,7 +102,7 @@ struct Work {
   idx iter = 0, rho_updates = 0;
   int status = UNSOLVED, status_polish = 0;
   double setup_seconds = 0.0;
-  int ord_choice = 0;  // 0 = rcm, 1 = mindeg (fill arbitration at setup)
+  int ord_choice = 0;  // 0 = rcm, 1 = mindeg, 2 = amd (fill arbitration)
   std::vector<double> dx_cert, dy_cert;
 };
 
@@ -276,11 +276,13 @@ static void assemble_kkt(Work& w) {
     w.K.x.push_back(0.0);
     w.K.p[n + k + 1] = (idx)w.K.i.size();
   }
-  // fill-minimizing ordering: try RCM and minimum-degree, keep whichever
-  // yields the fewer L nonzeros (exact symbolic count via ldl_symbolic)
+  // fill-minimizing ordering: try RCM, exact minimum-degree (small N only)
+  // and AMD, keep whichever yields the fewer L nonzeros (exact symbolic
+  // count via ldl_symbolic)
   std::vector<std::vector<idx>> cand;
   cand.push_back(rcm_order(N, w.K.p.data(), w.K.i.data()));
   cand.push_back(mindeg_order(N, w.K.p.data(), w.K.i.data()));
+  cand.push_back(amd_order(N, w.K.p.data(), w.K.i.data()));
   idx best = -1, best_nz = 0;
   CSC Kp_tmp;
   std::vector<idx> kmap_tmp;
@@ -513,7 +515,8 @@ static int admm_solve(Work& w) {
                 (long long)n, (long long)m, (long long)w.P.p[n],
                 (long long)w.A.p[n]);
     std::printf("linear system: LDL' (%s ordering), nnz(L) = %lld\n",
-                w.ord_choice == 1 ? "min-degree" : "RCM",
+                w.ord_choice == 1 ? "min-degree"
+                : (w.ord_choice == 2 ? "AMD" : "RCM"),
                 (long long)w.sym.total_nz);
     std::printf("rho = %.2e, sigma = %.2e, alpha = %.2f, eps_abs = %.1e, "
                 "eps_rel = %.1e, max_iter = %lld\n",
@@ -684,21 +687,27 @@ static void polish_solution(Work& w, double admm_pri, double admm_dua) {
     K.p[n + j + 1] = (idx)K.i.size();
   }
   // fill-reducing ordering for the one-shot polish factor (same
-  // arbitration as the main KKT: min-degree vs RCM by exact fill)
-  std::vector<idx> pperm = mindeg_order(N, K.p.data(), K.i.data());
+  // arbitration as the main KKT: RCM vs min-degree vs AMD by exact fill)
+  std::vector<idx> pperm;
   {
-    std::vector<idx> rperm = rcm_order(N, K.p.data(), K.i.data());
+    std::vector<std::vector<idx>> pcand;
+    pcand.push_back(rcm_order(N, K.p.data(), K.i.data()));
+    pcand.push_back(mindeg_order(N, K.p.data(), K.i.data()));
+    pcand.push_back(amd_order(N, K.p.data(), K.i.data()));
+    idx best_nz = -1;
     CSC Ka;
     std::vector<idx> ka;
-    LDLSymbolic sa, sb;
-    build_permuted(K, rperm, Ka, ka);
-    bool ra = ldl_symbolic(N, Ka.p.data(), Ka.i.data(), sa);
-    bool rb = false;
-    if (!pperm.empty()) {
-      build_permuted(K, pperm, Ka, ka);
-      rb = ldl_symbolic(N, Ka.p.data(), Ka.i.data(), sb);
+    for (auto& cp : pcand) {
+      if (cp.empty()) continue;
+      LDLSymbolic sa;
+      build_permuted(K, cp, Ka, ka);
+      if (!ldl_symbolic(N, Ka.p.data(), Ka.i.data(), sa)) continue;
+      if (best_nz < 0 || sa.total_nz < best_nz) {
+        best_nz = sa.total_nz;
+        pperm = std::move(cp);
+      }
     }
-    if (!rb || (ra && sa.total_nz <= sb.total_nz)) pperm = std::move(rperm);
+    if (pperm.empty()) pperm = rcm_order(N, K.p.data(), K.i.data());
   }
   CSC Kq;
   std::vector<idx> kq;

@@ -42,10 +42,16 @@ def _kernel(scalars_ref,  # SMEM prefetch: [sigma, alpha, K, live_groups]
     have converged, per-chunk compute shrinks to the live prefix.
 
     The serial chain is two matmuls per iteration: w@A feeds one rhs, and
-    BOTH xt = rhs@R⁻¹ and zt = rhs@(R⁻¹Aᵀ) hang off that rhs as sibling
-    products (the driver precomputes R⁻¹Aᵀ once per factor). Same FLOPs as
-    the textbook xt-then-A·xt ordering, one less dependent MXU op in the
-    loop-carried path.
+    BOTH xt = rhs@(αR⁻¹) and zt = rhs@(αR⁻¹Aᵀ) hang off that rhs as sibling
+    products (the wrapper precomputes both α-scaled operators once per
+    chunk). Same FLOPs as the textbook xt-then-A·xt ordering, one less
+    dependent MXU op in the loop-carried path.
+
+    VPU economy: the relaxation weight α is folded into the matmul operands
+    and the dual iterate is carried ρ-scaled (t = ρ⁻¹y), which shortens the
+    per-iteration elementwise chain from 11m+6n to 8m+5n ops per lane; y is
+    materialized as ρ·t only at chunk boundaries (2 ops amortized over the
+    K in-kernel iterations).
 
     ``lowp=True`` runs the three products with bfloat16 inputs and f32
     accumulation (single-pass MXU rate, ~3× the f32 ceiling). State,
@@ -60,59 +66,63 @@ def _kernel(scalars_ref,  # SMEM prefetch: [sigma, alpha, K, live_groups]
 
     @pl.when(g < live_groups)
     def _run():
-        Rinv = rinv_ref[:]       # (n, n) shared
+        Rinv_a = rinv_ref[:]     # (n, n) shared — αR⁻¹, pre-scaled
         A = a_ref[:]             # (m, n) shared
-        RAt = rat_ref[:]         # (n, m) shared — R⁻¹Aᵀ, precomputed
+        RAt_a = rat_ref[:]       # (n, m) shared — αR⁻¹Aᵀ, pre-scaled
         rho = rho_ref[:]         # (1, m) shared
         rho_inv = rho_inv_ref[:]
         q = q_ref[:]             # (G, n)
         lb = l_ref[:]            # (G, m)
         ub = u_ref[:]
         pt = q.dtype
+        beta = 1.0 - alpha
         if lowp:
             ct = jnp.bfloat16
-            A_c, Rinv_c, RAt_c = A.astype(ct), Rinv.astype(ct), RAt.astype(ct)
+            A_c, Rinv_c, RAt_c = (A.astype(ct), Rinv_a.astype(ct),
+                                  RAt_a.astype(ct))
             # the ambient matmul precision is pinned to f32 (linalg
             # precision scope); Mosaic rejects fp32 contract precision on
             # bf16 operands, so the low-precision dots must request DEFAULT
             # (bf16 multiply, f32 accumulate via preferred_element_type)
             prec = lax.Precision.DEFAULT
         else:
-            A_c, Rinv_c, RAt_c = A, Rinv, RAt
+            A_c, Rinv_c, RAt_c = A, Rinv_a, RAt_a
             prec = None
 
         def step(carry):
-            x, y, z = carry
-            w = rho * z - y                                   # (G, m)
+            # carry = (x, t, z) with t = ρ⁻¹y — the ρ-scaled dual
+            x, t, z = carry
+            w = rho * (z - t)                                 # (G, m)
             wc = w.astype(jnp.bfloat16) if lowp else w
             rhs = sigma * x - q + jnp.dot(wc, A_c, preferred_element_type=pt,
                                           precision=prec)
             rc = rhs.astype(jnp.bfloat16) if lowp else rhs
-            xt = jnp.dot(rc, Rinv_c, preferred_element_type=pt,
-                         precision=prec)                      # (G, n)
-            zt = jnp.dot(rc, RAt_c, preferred_element_type=pt,
-                         precision=prec)                      # (G, m)
-            x_new = alpha * xt + (1.0 - alpha) * x
-            v = alpha * zt + (1.0 - alpha) * z + rho_inv * y
+            xt_a = jnp.dot(rc, Rinv_c, preferred_element_type=pt,
+                           precision=prec)                    # (G, n), α·x̃
+            zt_a = jnp.dot(rc, RAt_c, preferred_element_type=pt,
+                           precision=prec)                    # (G, m), α·z̃
+            x_new = xt_a + beta * x
+            v = zt_a + beta * z + t
             z_new = jnp.clip(v, lb, ub)
-            y_new = rho * (v - z_new)
-            return x_new, y_new, z_new
+            t_new = v - z_new
+            return x_new, t_new, z_new
 
+        t0 = rho_inv * y0_ref[:]
         if static_k > 0:
-            xp, yp, zp = x0_ref[:], y0_ref[:], z0_ref[:]
+            xp, tp, zp = x0_ref[:], t0, z0_ref[:]
             for _ in range(static_k - 1):
-                xp, yp, zp = step((xp, yp, zp))
+                xp, tp, zp = step((xp, tp, zp))
         else:
-            xp, yp, zp = lax.while_loop(
+            xp, tp, zp = lax.while_loop(
                 lambda c: c[0] < K - 1,
                 lambda c: (c[0] + 1,) + step(c[1:]),
-                (jnp.int32(0), x0_ref[:], y0_ref[:], z0_ref[:]))[1:]
-        x, y, z = step((xp, yp, zp))
+                (jnp.int32(0), x0_ref[:], t0, z0_ref[:]))[1:]
+        x, t, z = step((xp, tp, zp))
 
         xp_ref[:] = xp
-        yp_ref[:] = yp
+        yp_ref[:] = rho * tp
         x_ref[:] = x
-        y_ref[:] = y
+        y_ref[:] = rho * t
         z_ref[:] = z
 
     @pl.when(g >= live_groups)
@@ -180,9 +190,13 @@ def admm_iterate_shared(Rinv, A, rho_vec, rho_inv, q, l, u, x, y, z,
     )
 
     # Precomputed once per factor-chunk: one (n,n)@(n,m) product, ~1/B·K of
-    # the kernel's work. Full f32 precision regardless of lowp.
-    RAt = jnp.dot(Rinv, A.T, precision=lax.Precision.HIGHEST,
-                  preferred_element_type=dtype)
+    # the kernel's work. Full f32 precision regardless of lowp. The α
+    # relaxation weight is folded into both operators here so the kernel's
+    # per-iteration elementwise chain drops two multiplies.
+    alpha_c = jnp.asarray(alpha, dtype)
+    RAt = alpha_c * jnp.dot(Rinv, A.T, precision=lax.Precision.HIGHEST,
+                            preferred_element_type=dtype)
+    Rinv = alpha_c * Rinv
 
     import functools as _ft
     out = pl.pallas_call(

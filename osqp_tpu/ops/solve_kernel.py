@@ -40,8 +40,8 @@ def _kernel(scal_ref,  # SMEM: [sigma, alpha, max_iter, check_every,
     eps_rel = scal_ref[5]
     cinv = scal_ref[6]
 
-    Rinv = rinv_ref[:]
-    RAt = rat_ref[:]         # R⁻¹Aᵀ precomputed — see shared_iter kernel
+    Rinv_a = rinv_ref[:]     # αR⁻¹, pre-scaled — see shared_iter kernel
+    RAt_a = rat_ref[:]       # αR⁻¹Aᵀ, pre-scaled
     P = p_ref[:]
     A = a_ref[:]
     At = at_ref[:]           # still used by the in-kernel residual check
@@ -53,6 +53,7 @@ def _kernel(scal_ref,  # SMEM: [sigma, alpha, max_iter, check_every,
     lb = l_ref[:]
     ub = u_ref[:]
     pt = q.dtype
+    beta = 1.0 - alpha
 
     def rowmax(M):  # (G, k) -> (G, 1)
         return jnp.max(jnp.abs(M), axis=1, keepdims=True)
@@ -64,23 +65,24 @@ def _kernel(scal_ref,  # SMEM: [sigma, alpha, max_iter, check_every,
     iters_ref[:] = jnp.zeros_like(iters_ref)
 
     def body(carry):
-        it, _, x, y, z, xp, yp = carry
+        # carry duals are ρ-scaled (t = ρ⁻¹y) — see shared_iter kernel
+        it, _, x, t, z, xp, tp = carry
         live = done_ref[:] == 0  # (G, 1)
 
-        w = rho * z - y
+        w = rho * (z - t)
         rhs = sigma * x - q + jnp.dot(w, A, preferred_element_type=pt)
         # two sibling products off one rhs (serial chain of 2, not 3)
-        xt = jnp.dot(rhs, Rinv, preferred_element_type=pt)
-        zt = jnp.dot(rhs, RAt, preferred_element_type=pt)
-        x_new = alpha * xt + (1.0 - alpha) * x
-        v = alpha * zt + (1.0 - alpha) * z + rho_inv * y
+        xt_a = jnp.dot(rhs, Rinv_a, preferred_element_type=pt)
+        zt_a = jnp.dot(rhs, RAt_a, preferred_element_type=pt)
+        x_new = xt_a + beta * x
+        v = zt_a + beta * z + t
         z_new = jnp.clip(v, lb, ub)
-        y_new = rho * (v - z_new)
+        t_new = v - z_new
 
         xp = jnp.where(live, x, xp)
-        yp = jnp.where(live, y, yp)
+        tp = jnp.where(live, t, tp)
         x = jnp.where(live, x_new, x)
-        y = jnp.where(live, y_new, y)
+        t = jnp.where(live, t_new, t)
         z = jnp.where(live, z_new, z)
         it = it + 1
 
@@ -88,6 +90,7 @@ def _kernel(scal_ref,  # SMEM: [sigma, alpha, max_iter, check_every,
 
         @pl.when(do_check)
         def _():
+            y = rho * t
             Ax = jnp.dot(x, At, preferred_element_type=pt)
             Px = jnp.dot(x, P, preferred_element_type=pt)
             Aty = jnp.dot(y, A, preferred_element_type=pt)
@@ -105,24 +108,25 @@ def _kernel(scal_ref,  # SMEM: [sigma, alpha, max_iter, check_every,
             done_ref[:] = (prev_done | solved).astype(jnp.int32)
 
         alldone = jnp.all(done_ref[:] != 0)
-        return it, alldone, x, y, z, xp, yp
+        return it, alldone, x, t, z, xp, tp
 
     def cond(carry):
         it, alldone, *_ = carry
         return (it < max_iter) & jnp.logical_not(alldone)
 
-    it, _, x, y, z, xp, yp = lax.while_loop(
+    t0 = rho_inv * y0_ref[:]
+    it, _, x, t, z, xp, tp = lax.while_loop(
         cond, body,
         (jnp.int32(0), jnp.asarray(False),
-         x0_ref[:], y0_ref[:], z0_ref[:], x0_ref[:], y0_ref[:]))
+         x0_ref[:], t0, z0_ref[:], x0_ref[:], t0))
 
     # non-converged lanes ran to the final iteration count
     iters_ref[:] = jnp.where(done_ref[:] != 0, iters_ref[:], it)
     x_ref[:] = x
-    y_ref[:] = y
+    y_ref[:] = rho * t
     z_ref[:] = z
     xp_ref[:] = xp
-    yp_ref[:] = yp
+    yp_ref[:] = rho * tp
 
 
 @functools.partial(jax.jit, static_argnames=("group", "interpret"))
@@ -178,8 +182,12 @@ def admm_solve_shared(Rinv, P, A, rho_vec, rho_inv, Einv, Dinv, cinv,
         ],
     )
 
-    RAt = jnp.dot(Rinv, A.T, precision=lax.Precision.HIGHEST,
-                  preferred_element_type=dtype)
+    # α folded into both operators — saves two per-iteration multiplies in
+    # the kernel (see shared_iter)
+    alpha_c = jnp.asarray(alpha, dtype)
+    RAt = alpha_c * jnp.dot(Rinv, A.T, precision=lax.Precision.HIGHEST,
+                            preferred_element_type=dtype)
+    Rinv = alpha_c * Rinv
     out = pl.pallas_call(
         _kernel,
         grid_spec=grid_spec,

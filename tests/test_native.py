@@ -247,9 +247,10 @@ def test_native_verbose_log(capfd):
 
 
 def test_native_ordering_arbitration(capfd):
-    """Fill-minimizing ordering choice: min-degree on irregular sparsity,
-    RCM kept on banded structures (the verbose header reports the winner);
-    solutions must match the JAX Model either way."""
+    """Fill-minimizing ordering choice among RCM / exact min-degree / AMD
+    (the verbose header reports the winner): exact min-degree edges out AMD
+    on this small irregular pattern; AMD beats RCM on the banded MPC KKT.
+    Solutions must match the JAX Model either way."""
     rng = np.random.RandomState(7)
     n, m = 120, 180
     Pd = sp.random(n, n, density=0.04, random_state=rng)
@@ -271,4 +272,27 @@ def test_native_ordering_arbitration(capfd):
     from osqp_tpu.problems import control_qp
     P2, q2, A2, l2, u2 = control_qp(nx=6, nu=3, T=10, seed=0)
     NativeModel().setup(P=P2, q=q2, A=A2, l=l2, u=u2).solve()
-    assert "(RCM ordering)" in capfd.readouterr().out
+    assert "(AMD ordering)" in capfd.readouterr().out
+
+
+def test_native_amd_beyond_mindeg_limit(capfd):
+    """AMD (quotient-graph approximate min-degree, native/ldl.cpp::amd_order)
+    handles KKT sizes where the exact-degree mindeg_order declines (N > 6000):
+    the verbose header must report AMD — not the RCM fallback — and the solve
+    must still be correct (KKT residual check against the box projection)."""
+    rng = np.random.RandomState(3)
+    n, m0 = 3500, 3200  # N = n + m0 + n > mindeg's decline threshold
+    P = sp.eye(n, format="csc") * 2.0
+    A = sp.vstack([sp.random(m0, n, density=0.0015, random_state=rng,
+                             format="csc"), sp.eye(n)]).tocsc()
+    q = rng.randn(n)
+    l = -np.ones(A.shape[0])
+    u = np.ones(A.shape[0])
+    r = NativeModel().setup(P=P, q=q, A=A, l=l, u=u,
+                            eps_abs=1e-6, eps_rel=1e-6).solve()
+    out = capfd.readouterr().out
+    assert "(AMD ordering)" in out
+    assert r.info.status == "Solved"
+    # stationarity on inactive coordinates: P x + q + A' y ~ 0
+    res = P @ r.x + q + A.T @ r.y
+    assert np.max(np.abs(res)) < 1e-4
