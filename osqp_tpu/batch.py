@@ -62,11 +62,17 @@ def _pick_group(B_local, n, m, itemsize=4):
     (per-device) batch and fits the shared-iter kernel's VMEM working set.
 
     Measured on v5e (n=128, m=256, B=4096): G=512 runs the iteration
-    kernel at ~83% MFU(f32) vs ~71% at G=128; G=1024 exceeds the ~16 MB
-    VMEM budget. Working set ≈ (6n+11m) f32/lane (in+out blocks with
-    input double-buffering), kept under a conservative 13 MB."""
-    per_lane = (6 * n + 11 * m) * itemsize
-    cap = max(8, int(13e6 // max(per_lane, 1)))
+    kernel at ~83% MFU(f32) vs ~71% at G=128.
+
+    The scoped-VMEM model is calibrated against Mosaic's actual allocation
+    reports on v5e (16 MB limit): usage ≈ shared operators (R⁻¹, A, R⁻¹Aᵀ:
+    (n²+2mn)·4 B) + G·(8n+24m)·4 B for blocks/carries/temps. Anchors:
+    (n=256,m=512,G=256) reports 16.01 MB (fails), G=128 fits;
+    (n=512,m=1024,G=128) reports 19.78 MB (fails), G=64 fits;
+    (n=128,m=256,G=512) fits at a predicted 15.0 MB."""
+    per_lane = (8 * n + 24 * m) * itemsize
+    shared = (n * n + 2 * m * n) * itemsize
+    cap = max(8, int((15.5e6 - shared) // max(per_lane, 1)))
     g = 512
     while g > cap:
         g //= 2
