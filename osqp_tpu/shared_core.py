@@ -542,9 +542,22 @@ def solve_batch_shared(P, A, qb, lb, ub, scal: SharedScaling, dyn: DynParams,
     hit_max = final.status == C.RUNNING
     dx = final.x - final.x_prev
     dy = final.y - final.y_prev
-    approx_status, approx_res = shared_check(
-        P, A, qb, lb, ub, scal, dyn, final.x, final.y, final.z, dx, dy,
-        jnp.asarray(C.INACCURATE_EPS_FACTOR, dtype), accurate=False)
+
+    # the approximate (10x-loosened) re-check only matters for lanes that
+    # ran out of iterations — skip its three batched matmuls entirely on
+    # the hot all-solved path (the common warm re-solve case)
+    def _approx(_):
+        st, rs = shared_check(
+            P, A, qb, lb, ub, scal, dyn, final.x, final.y, final.z, dx, dy,
+            jnp.asarray(C.INACCURATE_EPS_FACTOR, dtype), accurate=False)
+        return st, rs.pri_res, rs.dua_res
+
+    def _no_approx(_):
+        return (jnp.full_like(final.status, C.RUNNING),
+                final.pri_res, final.dua_res)
+
+    approx_status, approx_pri, approx_dua = lax.cond(
+        _gany(hit_max), _approx, _no_approx, None)
     allow = (dyn.check_termination > 0) & (dyn.final_approx != 0)
     status = jnp.where(
         hit_max,
@@ -552,16 +565,29 @@ def solve_batch_shared(P, A, qb, lb, ub, scal: SharedScaling, dyn: DynParams,
                   approx_status, C.MAX_ITER_REACHED),
         final.status).astype(jnp.int32)
     iters = jnp.where(hit_max, final.it, final.iters)
-    pri_res = jnp.where(hit_max, approx_res.pri_res, final.pri_res)
-    dua_res = jnp.where(hit_max, approx_res.dua_res, final.dua_res)
+    pri_res = jnp.where(hit_max, approx_pri, final.pri_res)
+    dua_res = jnp.where(hit_max, approx_dua, final.dua_res)
 
     x = scal.D * final.x
     y = scal.cinv * scal.E * final.y
     z = scal.Einv * final.z
 
-    _, prim_cert = shared_primal_inf(A, lb, ub, scal, dy, dyn.eps_prim_inf)
-    _, dual_cert = shared_dual_inf(P, A, qb, lb, ub, scal, dx,
-                                   dyn.eps_dual_inf)
+    # certificate extraction costs four batched matmuls — only pay when
+    # some lane was actually classified infeasible
+    inf_any = _gany((status == C.PRIMAL_INFEASIBLE)
+                    | (status == C.PRIMAL_INFEASIBLE_INACCURATE)
+                    | (status == C.DUAL_INFEASIBLE)
+                    | (status == C.DUAL_INFEASIBLE_INACCURATE))
+
+    def _certs(_):
+        _, pc = shared_primal_inf(A, lb, ub, scal, dy, dyn.eps_prim_inf)
+        _, dc = shared_dual_inf(P, A, qb, lb, ub, scal, dx,
+                                dyn.eps_dual_inf)
+        return pc, dc
+
+    prim_cert, dual_cert = lax.cond(
+        inf_any, _certs, lambda _: (jnp.zeros_like(final.y),
+                                    jnp.zeros_like(final.x)), None)
 
     obj = scal.cinv * (0.5 * jnp.sum(final.x * (final.x @ P), axis=1)
                        + jnp.sum(qb * final.x, axis=1))
@@ -636,24 +662,49 @@ def solve_batch_shared_fixed(P, A, qb, lb, ub, scal: SharedScaling,
     # reference runs exactly max_iter); match the other engines
     status_acc = jnp.where(dyn.check_termination > 0, status_acc, C.RUNNING)
     hit_max = status_acc == C.RUNNING
-    approx_status, approx_res = shared_check(
-        P, A, qb, lb, ub, scal, dyn, x, y, z, dx, dy,
-        jnp.asarray(C.INACCURATE_EPS_FACTOR, dtype), accurate=False)
+
+    def _gany(v):
+        if axis_name is None:
+            return jnp.any(v)
+        return lax.psum(jnp.any(v).astype(jnp.int32), axis_name) > 0
+
+    def _approx(_):
+        st, rs = shared_check(
+            P, A, qb, lb, ub, scal, dyn, x, y, z, dx, dy,
+            jnp.asarray(C.INACCURATE_EPS_FACTOR, dtype), accurate=False)
+        return st, rs.pri_res, rs.dua_res
+
+    def _no_approx(_):
+        return jnp.full_like(status_acc, C.RUNNING), res.pri_res, res.dua_res
+
+    approx_status, approx_pri, approx_dua = lax.cond(
+        _gany(hit_max), _approx, _no_approx, None)
     allow = (dyn.check_termination > 0) & (dyn.final_approx != 0)
     status = jnp.where(
         hit_max,
         jnp.where(allow & (approx_status != C.RUNNING),
                   approx_status, C.MAX_ITER_REACHED),
         status_acc).astype(jnp.int32)
-    pri_res = jnp.where(hit_max, approx_res.pri_res, res.pri_res)
-    dua_res = jnp.where(hit_max, approx_res.dua_res, res.dua_res)
+    pri_res = jnp.where(hit_max, approx_pri, res.pri_res)
+    dua_res = jnp.where(hit_max, approx_dua, res.dua_res)
 
     xu = scal.D * x
     yu = scal.cinv * scal.E * y
     zu = scal.Einv * z
-    _, prim_cert = shared_primal_inf(A, lb, ub, scal, dy, dyn.eps_prim_inf)
-    _, dual_cert = shared_dual_inf(P, A, qb, lb, ub, scal, dx,
-                                   dyn.eps_dual_inf)
+    inf_any = _gany((status == C.PRIMAL_INFEASIBLE)
+                    | (status == C.PRIMAL_INFEASIBLE_INACCURATE)
+                    | (status == C.DUAL_INFEASIBLE)
+                    | (status == C.DUAL_INFEASIBLE_INACCURATE))
+
+    def _certs(_):
+        _, pc = shared_primal_inf(A, lb, ub, scal, dy, dyn.eps_prim_inf)
+        _, dc = shared_dual_inf(P, A, qb, lb, ub, scal, dx,
+                                dyn.eps_dual_inf)
+        return pc, dc
+
+    prim_cert, dual_cert = lax.cond(
+        inf_any, _certs, lambda _: (jnp.zeros_like(y), jnp.zeros_like(x)),
+        None)
     obj = scal.cinv * (0.5 * jnp.sum(x * (x @ P), axis=1)
                        + jnp.sum(qb * x, axis=1))
     nan = jnp.asarray(jnp.nan, dtype)
