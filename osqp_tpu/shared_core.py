@@ -374,38 +374,38 @@ def solve_batch_shared(P, A, qb, lb, ub, scal: SharedScaling, dyn: DynParams,
     def body_fun(c: SCarry) -> SCarry:
         live = c.status == C.RUNNING
         lx = live[:, None]
-        K = jnp.minimum(chunk, dyn.max_iter - c.it)
-
         live_groups = (c.nlive + (G - 1)) // G if compact else None
 
-        def _kern(lp: bool):
-            return admm_iterate_shared(
-                c.Rinv, A, c.rho_vec, c.rho_inv, c.qb, c.lb, c.ub,
-                c.x, c.y, c.z, dyn.sigma, dyn.alpha, K, group=group,
-                interpret=interpret, live_groups=live_groups, lowp=lp)
-
         if lowp:
+            # bf16/mixed mode: iterate in check_termination-sized chunks
+            # with the lightweight iteration kernel; classification happens
+            # in f32 XLA (an f32 in-kernel check can't run on bf16 state).
+            K = jnp.minimum(chunk, dyn.max_iter - c.it)
+
+            def _kern(lp: bool):
+                return admm_iterate_shared(
+                    c.Rinv, A, c.rho_vec, c.rho_inv, c.qb, c.lb, c.ub,
+                    c.x, c.y, c.z, dyn.sigma, dyn.alpha, K, group=group,
+                    interpret=interpret, live_groups=live_groups, lowp=lp)
+
             x_new, y_new, z_new, xp, yp = lax.cond(
                 c.fine, lambda _: _kern(False), lambda _: _kern(True), None)
-        else:
-            x_new, y_new, z_new, xp, yp = _kern(False)
 
-        x_new = jnp.where(lx, x_new, c.x)
-        y_new = jnp.where(lx, y_new, c.y)
-        z_new = jnp.where(lx, z_new, c.z)
-        x_prev = jnp.where(lx, xp, c.x_prev)
-        y_prev = jnp.where(lx, yp, c.y_prev)
+            x_new = jnp.where(lx, x_new, c.x)
+            y_new = jnp.where(lx, y_new, c.y)
+            z_new = jnp.where(lx, z_new, c.z)
+            x_prev = jnp.where(lx, xp, c.x_prev)
+            y_prev = jnp.where(lx, yp, c.y_prev)
 
-        it = c.it + K
-        dx = x_new - x_prev
-        dy = y_new - y_prev
+            it = c.it + K
+            dx = x_new - x_prev
+            dy = y_new - y_prev
 
-        status_new, res = shared_check(
-            P, A, c.qb, c.lb, c.ub, scal, dyn, x_new, y_new, z_new, dx, dy,
-            jnp.asarray(1.0, dtype), accurate=True)
-        check_on = dyn.check_termination > 0
-        status = jnp.where(live & check_on, status_new, c.status)
-        if lowp:
+            status_new, res = shared_check(
+                P, A, c.qb, c.lb, c.ub, scal, dyn, x_new, y_new, z_new,
+                dx, dy, jnp.asarray(1.0, dtype), accurate=True)
+            check_on = dyn.check_termination > 0
+            status = jnp.where(live & check_on, status_new, c.status)
             # bf16 phase: Solved (f32-verified residuals) and Non_convex
             # (NaN breakdown) may be declared; infeasibility certificates
             # wait for the full-precision phase — the stall detector
@@ -413,7 +413,56 @@ def solve_batch_shared(P, A, qb, lb, ub, scal: SharedScaling, dyn: DynParams,
             benign = ((status_new == C.SOLVED) | (status_new == C.RUNNING)
                       | (status_new == C.NON_CONVEX))
             status = jnp.where(c.fine | benign, status, c.status)
-        iters = jnp.where(live & (status != C.RUNNING), it, c.iters)
+        else:
+            # full-precision mode: run a whole leg (up to the next
+            # rho-adaptation boundary) in ONE kernel invocation with
+            # in-kernel classification every check_termination iterations —
+            # same iterates, same check iterations, ~rho_interval/chunk
+            # fewer XLA epochs than the chunked design.
+            K = jnp.minimum(rho_int - c.it % rho_int, dyn.max_iter - c.it)
+            from .ops.solve_kernel import admm_solve_shared
+
+            st = dyn.scaled_termination.astype(bool)
+            Einv_eff = jnp.where(st, jnp.ones_like(scal.Einv), scal.Einv)
+            Dinv_eff = jnp.where(st, jnp.ones_like(scal.Dinv), scal.Dinv)
+            cinv_eff = jnp.where(st, jnp.ones_like(scal.cinv), scal.cinv)
+
+            (xk, yk, zk, xpk, ypk, st_k, it_k, pri_k, dua_k, prn_k,
+             dun_k) = admm_solve_shared(
+                c.Rinv, P, A, c.rho_vec, c.rho_inv, Einv_eff, Dinv_eff,
+                cinv_eff, c.qb, c.lb, c.ub, c.x, c.y, c.z,
+                dyn.sigma, dyn.alpha, K, dyn.check_termination,
+                dyn.eps_abs, dyn.eps_rel, scal=scal,
+                eps_pinf=dyn.eps_prim_inf, eps_dinf=dyn.eps_dual_inf,
+                status0=c.status, it0=c.it, live_groups=live_groups,
+                group=group, interpret=interpret)
+
+            x_new = jnp.where(lx, xk, c.x)
+            y_new = jnp.where(lx, yk, c.y)
+            z_new = jnp.where(lx, zk, c.z)
+            x_prev = jnp.where(lx, xpk, c.x_prev)
+            y_prev = jnp.where(lx, ypk, c.y_prev)
+            it = c.it + K
+            status = jnp.where(live, st_k, c.status)
+            iters_k = it_k
+
+            def _res_from_kernel(_):
+                return BRes(pri_k, dua_k, prn_k, dun_k)
+
+            def _res_from_xla(_):
+                # check_termination == 0: the kernel never computed
+                # residuals — the rho estimate still needs them
+                return shared_residuals(P, A, c.qb, scal, dyn, x_new,
+                                        y_new, z_new)
+
+            res = lax.cond(dyn.check_termination > 0, _res_from_kernel,
+                           _res_from_xla, None)
+
+        if lowp:
+            iters = jnp.where(live & (status != C.RUNNING), it, c.iters)
+        else:
+            iters = jnp.where(live & (status != C.RUNNING), iters_k,
+                              c.iters)
 
         do_rho = (dyn.adaptive_rho != 0) & (it % rho_int == 0)
 
@@ -622,8 +671,10 @@ def solve_batch_shared_fixed(P, A, qb, lb, ub, scal: SharedScaling,
                              axis_name=None, factor0: FactorCache = None,
                              with_factor: bool = False) -> SolveOutput:
     """Fixed-rho shared-structure solve: the ENTIRE loop runs in one Pallas
-    kernel (ops/solve_kernel.py) with in-kernel residual checks and per-lane
-    freezing. Used when adaptive_rho is off (no mid-solve refactorization)."""
+    kernel (ops/solve_kernel.py) with full in-kernel classification every
+    check_termination iterations (residual convergence, primal/dual
+    infeasibility, NaN breakdown) and per-lane freezing. Used when
+    adaptive_rho is off (no mid-solve refactorization)."""
     from .ops.solve_kernel import admm_solve_shared
 
     dtype = P.dtype
@@ -645,22 +696,19 @@ def solve_batch_shared_fixed(P, A, qb, lb, ub, scal: SharedScaling,
     Dinv_eff = jnp.where(st, jnp.ones_like(scal.Dinv), scal.Dinv)
     cinv_eff = jnp.where(st, jnp.ones_like(scal.cinv), scal.cinv)
 
-    x, y, z, xp, yp, done, iters = admm_solve_shared(
+    (x, y, z, xp, yp, status_acc, iters, pri_k, dua_k, _prn_k,
+     _dun_k) = admm_solve_shared(
         Rinv, P, A, rho_vec, rho_inv, Einv_eff, Dinv_eff, cinv_eff,
         qb, lb, ub, x0, y0, z0, dyn.sigma, dyn.alpha,
         dyn.max_iter, dyn.check_termination, dyn.eps_abs, dyn.eps_rel,
+        scal=scal, eps_pinf=dyn.eps_prim_inf, eps_dinf=dyn.eps_dual_inf,
         group=group, interpret=interpret)
 
-    # finalize identically to the epoch engine: accurate check classifies
-    # every lane; lanes still RUNNING hit max_iter -> approximate check
+    # finalize identically to the epoch engine: the kernel classified each
+    # lane at its check iterations (incl. infeasibility/NaN); lanes still
+    # RUNNING hit max_iter -> approximate check
     dx = x - xp
     dy = y - yp
-    status_acc, res = shared_check(P, A, qb, lb, ub, scal, dyn, x, y, z,
-                                   dx, dy, jnp.asarray(1.0, dtype),
-                                   accurate=True)
-    # with check_termination == 0 no engine ever declares Solved (the
-    # reference runs exactly max_iter); match the other engines
-    status_acc = jnp.where(dyn.check_termination > 0, status_acc, C.RUNNING)
     hit_max = status_acc == C.RUNNING
 
     def _gany(v):
@@ -675,7 +723,7 @@ def solve_batch_shared_fixed(P, A, qb, lb, ub, scal: SharedScaling,
         return st, rs.pri_res, rs.dua_res
 
     def _no_approx(_):
-        return jnp.full_like(status_acc, C.RUNNING), res.pri_res, res.dua_res
+        return jnp.full_like(status_acc, C.RUNNING), pri_k, dua_k
 
     approx_status, approx_pri, approx_dua = lax.cond(
         _gany(hit_max), _approx, _no_approx, None)
@@ -685,8 +733,8 @@ def solve_batch_shared_fixed(P, A, qb, lb, ub, scal: SharedScaling,
         jnp.where(allow & (approx_status != C.RUNNING),
                   approx_status, C.MAX_ITER_REACHED),
         status_acc).astype(jnp.int32)
-    pri_res = jnp.where(hit_max, approx_pri, res.pri_res)
-    dua_res = jnp.where(hit_max, approx_dua, res.dua_res)
+    pri_res = jnp.where(hit_max, approx_pri, pri_k)
+    dua_res = jnp.where(hit_max, approx_dua, dua_k)
 
     xu = scal.D * x
     yu = scal.cinv * scal.E * y
