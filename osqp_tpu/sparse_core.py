@@ -255,8 +255,14 @@ class SparseModel:
             # same pattern as interface._solve_time_limited): jitted chunks
             # of iterations, wall-clock check between chunks,
             # Time_limit_reached / Interrupted when cut short.
-            chunk = s.check_termination if s.check_termination > 0 else 25
-            chunk = max(int(chunk) * 8, 100)
+            # start with a 1-iteration chunk — the first dispatch also pays
+            # compilation, and some runtimes (relayed/shared TPU hosts)
+            # kill any dispatch, compile included, after ~60 s. Chunks then
+            # grow from the measured iteration rate toward a per-dispatch
+            # wall budget; fast hosts quickly reach big chunks while slow
+            # per-iteration problems stay safely under the watchdog.
+            chunk = 1
+            budget_s = min(30.0, max(float(s.time_limit) / 4.0, 1.0))
             total = 0
             x0, y0 = self._x0, self._y0
             out = None
@@ -267,8 +273,14 @@ class SparseModel:
                     dyn_c = dyn._replace(
                         max_iter=jnp.int32(this),
                         final_approx=jnp.int32(1 if is_final else 0))
+                    t_ch = time.perf_counter()
                     out = _run(dyn_c, x0, y0, polish=False)
                     jax.block_until_ready(out.x)
+                    el = max(time.perf_counter() - t_ch, 1e-3)
+                    rate = this / el
+                    floor = max(int(s.check_termination)
+                                if s.check_termination > 0 else 25, 25)
+                    chunk = int(max(min(rate * budget_s, 1e6), floor))
                     total += int(out.iter)
                     if int(out.status) not in (C.RUNNING,
                                                C.MAX_ITER_REACHED):

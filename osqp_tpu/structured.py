@@ -335,11 +335,26 @@ def _rho_vec_of(loose, eq, rho_bar):
     return rv, 1.0 / rv
 
 
+class TFactor(NamedTuple):
+    """Persistent block-tridiagonal factor carried across re-solves (the
+    reference's persistent-workspace economics, interface.jl:408-440 —
+    same design as shared_core.FactorCache). The factor is reused when the
+    rho vector implied by the current bounds classification matches the
+    cached one bit-for-bit; otherwise one banded refactorization runs
+    in-jit."""
+    L: jnp.ndarray         # (T, b, b)
+    F: jnp.ndarray         # (T-1, b, b)
+    rho_vec: jnp.ndarray   # (m,)
+    rho_bar: jnp.ndarray   # scalar
+
+
 @with_precision
 def solve_banded(data: BandedData, qb, lb, ub, scal: BandedScaling,
-                 dyn: DynParams, x0, y0, z0):
+                 dyn: DynParams, x0, y0, z0, factor0: TFactor = None,
+                 with_factor: bool = False):
     """Batched banded ADMM on scaled data. qb (B, n); lb/ub (B, m);
-    x0 (B, T, b); y0/z0 (B, m). Returns a dict of result leaves."""
+    x0 (B, T, b); y0/z0 (B, m). Returns a dict of result leaves (plus the
+    final :class:`TFactor` when ``with_factor``)."""
     dtype = data.Pd.dtype
     B = qb.shape[0]
     T, b = data.Pd.shape[0], data.Pd.shape[1]
@@ -351,10 +366,24 @@ def solve_banded(data: BandedData, qb, lb, ub, scal: BandedScaling,
     loose = jnp.all(loose_b, axis=0)
     eq = jnp.all(eq_b, axis=0) & ~loose
 
-    rho0 = jnp.clip(jnp.asarray(dyn.rho_bar, dtype), C.RHO_MIN, C.RHO_MAX)
-    rho_vec, rho_inv = _rho_vec_of(loose, eq, rho0)
-    Dblk, Eblk = _banded_normal_blocks(data, rho_vec, dyn.sigma)
-    L0, F0 = blocktri_factor(Dblk, Eblk)
+    if factor0 is None:
+        rho0 = jnp.clip(jnp.asarray(dyn.rho_bar, dtype), C.RHO_MIN,
+                        C.RHO_MAX)
+        rho_vec, rho_inv = _rho_vec_of(loose, eq, rho0)
+        Dblk, Eblk = _banded_normal_blocks(data, rho_vec, dyn.sigma)
+        L0, F0 = blocktri_factor(Dblk, Eblk)
+    else:
+        rho0 = jnp.clip(jnp.asarray(factor0.rho_bar, dtype), C.RHO_MIN,
+                        C.RHO_MAX)
+        rho_vec, rho_inv = _rho_vec_of(loose, eq, rho0)
+        reuse = jnp.all(rho_vec == factor0.rho_vec)
+
+        def _refactor(_):
+            Dblk, Eblk = _banded_normal_blocks(data, rho_vec, dyn.sigma)
+            return blocktri_factor(Dblk, Eblk)
+
+        L0, F0 = lax.cond(reuse, lambda _: (factor0.L, factor0.F),
+                          _refactor, None)
 
     check_t = jnp.maximum(dyn.check_termination, 1)
     rho_int = jnp.maximum(dyn.adaptive_rho_interval, 1)
@@ -492,14 +521,18 @@ def solve_banded(data: BandedData, qb, lb, ub, scal: BandedScaling,
     obj = scal.cinv * (0.5 * jnp.sum(xf * _px(data, final.x).reshape(B_, -1),
                                      axis=1)
                        + jnp.sum(qb * xf, axis=1))
-    return dict(x=x, y=y, z=z, status=status, iter=iters, pri_res=pri_res,
-                dua_res=dua_res, obj_val=obj,
-                rho_estimate=jnp.broadcast_to(final.rho_bar, (B_,)),
-                rho_updates=jnp.broadcast_to(final.rho_updates, (B_,)),
-                xbar=final.x, ybar=final.y, zbar=final.z)
+    out = dict(x=x, y=y, z=z, status=status, iter=iters, pri_res=pri_res,
+               dua_res=dua_res, obj_val=obj,
+               rho_estimate=jnp.broadcast_to(final.rho_bar, (B_,)),
+               rho_updates=jnp.broadcast_to(final.rho_updates, (B_,)),
+               xbar=final.x, ybar=final.y, zbar=final.z)
+    if with_factor:
+        return out, TFactor(L=final.L, F=final.F, rho_vec=final.rho_vec,
+                            rho_bar=final.rho_bar)
+    return out
 
 
-_solve_banded_jit = jax.jit(solve_banded)
+_solve_banded_jit = jax.jit(solve_banded, static_argnames=("with_factor",))
 
 
 # ---------------------------------------------------------------------------
@@ -573,6 +606,7 @@ class BlockTridiagSolver:
             cinv=jnp.asarray(1.0 / c, dtype))
         self.n, self.m, self.T, self.b = n, m, T, b
         self._dtype = dtype
+        self._factor = None   # persistent TFactor across re-solves
         self._is_setup = True
         return self
 
@@ -590,9 +624,15 @@ class BlockTridiagSolver:
         u = np.clip(u, -C.OSQP_INFTY, C.OSQP_INFTY)
         s = self.settings
         dyn = dyn_from_settings(s, dtype)
+        factor0 = self._factor
         if rho0 is not None:
             rho0 = np.median(np.asarray(rho0)) if np.ndim(rho0) else rho0
             dyn = dyn._replace(rho_bar=jnp.asarray(float(rho0), dtype))
+            if factor0 is not None:
+                # explicit caller rho overrides the carried one; the reuse
+                # check refactors if the implied rho_vec changed
+                factor0 = factor0._replace(
+                    rho_bar=jnp.asarray(float(rho0), dtype))
         scal = self._scal
         qb = jnp.asarray(q, dtype) * (scal.c * scal.D)
         lb = jnp.asarray(l, dtype) * scal.E
@@ -607,5 +647,7 @@ class BlockTridiagSolver:
         else:
             yb = jnp.asarray(np.atleast_2d(y0), dtype) * (scal.c * scal.Einv)
         zb = _ax(self._data, xb)
-        return _solve_banded_jit(self._data, qb, lb, ub, scal, dyn,
-                                 xb, yb, zb)
+        out, self._factor = _solve_banded_jit(
+            self._data, qb, lb, ub, scal, dyn, xb, yb, zb,
+            factor0=factor0, with_factor=True)
+        return out

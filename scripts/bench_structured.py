@@ -15,11 +15,14 @@ Usage: python scripts/bench_structured.py [--cpu] [--dense] [--T 500]
 """
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
 import scipy.sparse as sp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def log(msg):
@@ -38,7 +41,6 @@ def main():
     args = ap.parse_args()
 
     if args.cpu:
-        import os
         os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                    + " --xla_force_host_platform_device_count=8")
         import jax

@@ -159,3 +159,41 @@ def test_warm_start_cuts_iterations():
     assert int(warm["status"][0]) == C.SOLVED
     cold2 = solver.solve(q2, l, u)
     assert int(warm["iter"][0]) <= int(cold2["iter"][0])
+
+
+def test_persistent_factor_reuse_matches_fresh():
+    """The carried TFactor (structured.py::TFactor) must be semantically
+    invisible: a re-solve on a solver whose factor cache is warm gives the
+    same answer as a fresh solver, both when the cached rho_vec is reused
+    bit-for-bit and when an explicit rho0 override forces an in-jit
+    refactorization."""
+    P, q, A, l, u, b = _control(nx=5, nu=2, T=6, seed=9)
+    kw = dict(eps_abs=1e-8, eps_rel=1e-8, max_iter=20000, verbose=False)
+    warmed = BlockTridiagSolver().setup(
+        P=sp.csc_matrix(P), A=sp.csc_matrix(A), block=b, **kw)
+    warmed.solve(q, l, u)
+    assert warmed._factor is not None
+    q2 = q + 0.1 * np.random.RandomState(1).randn(q.shape[0])
+
+    out_cached = warmed.solve(q2, l, u)                    # reuse path
+    fresh = BlockTridiagSolver().setup(
+        P=sp.csc_matrix(P), A=sp.csc_matrix(A), block=b, **kw)
+    out_fresh = fresh.solve(q2, l, u)
+    assert int(out_cached["status"][0]) == C.SOLVED
+    np.testing.assert_allclose(np.asarray(out_cached["x"]),
+                               np.asarray(out_fresh["x"]),
+                               rtol=1e-6, atol=1e-8)
+    # the cache also carries the ADAPTED rho (reference workspace
+    # semantics) — the warmed solver may converge in fewer iterations
+    # than the default-rho fresh one, never more
+    assert int(out_cached["iter"][0]) <= int(out_fresh["iter"][0])
+
+    out_rho = warmed.solve(q2, l, u, rho0=0.9)             # refactor path
+    fresh2 = BlockTridiagSolver().setup(
+        P=sp.csc_matrix(P), A=sp.csc_matrix(A), block=b, **kw)
+    out_rho_fresh = fresh2.solve(q2, l, u, rho0=0.9)
+    assert int(out_rho["status"][0]) == C.SOLVED
+    np.testing.assert_allclose(np.asarray(out_rho["x"]),
+                               np.asarray(out_rho_fresh["x"]),
+                               rtol=1e-6, atol=1e-8)
+    assert int(out_rho["iter"][0]) == int(out_rho_fresh["iter"][0])
