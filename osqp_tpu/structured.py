@@ -9,12 +9,17 @@ stage variables ``z = [w_0, ..., w_{T-1}]``, ``w_t in R^b``
 
 TPU-native design:
 
-  * the factorization is a ``lax.scan`` over the T stages of the classic
-    block-Cholesky recurrence — each step is a batch of small dense (b, b)
-    Cholesky/triangular ops, so with a lane batch B the per-step work is
-    (B, b, b) matmuls that tile onto the MXU;
+  * the default factorization is **block cyclic reduction** (``cr_factor``
+    — odd-even elimination, i.e. block Cholesky under the
+    nested-dissection ordering): O(log T) sequential depth where every
+    level is one round of batched (K, b, b) GEMMs, vs the classic
+    recurrence's T-step scan of single-block ops, which on TPU is pure
+    serialized latency. The scan variant (``blocktri_factor``) is kept as
+    ``kkt_solver="scan"`` and as the differential oracle;
   * cost O(T b^3) per factor and O(T b^2) per solve instead of O((Tb)^3) /
     O((Tb)^2) dense — n = 2e4 with b = 40 is ~500 stages of 40x40 blocks;
+  * the factor and the adapted rho persist across re-solves
+    (:class:`TFactor`, the reference's workspace economics);
   * A is stored row-wise as (m, 2b) slabs: each constraint row may touch at
     most two consecutive stage blocks (dynamics rows couple t and t+1; box
     rows touch one). ``A@x`` is a gather + row-dot; ``A'w`` and the banded
@@ -271,6 +276,120 @@ def blocktri_solve(L, F, rhs):
 
 
 # ---------------------------------------------------------------------------
+# Block cyclic reduction (odd-even elimination) — the O(log T)-depth factor
+# ---------------------------------------------------------------------------
+
+def _spd_inv(Dblks):
+    """Batched SPD inverse of (K, b, b) blocks via Cholesky."""
+    b = Dblks.shape[-1]
+    L = lax.linalg.cholesky(Dblks, symmetrize_input=False)
+    eye = jnp.broadcast_to(jnp.eye(b, dtype=Dblks.dtype), Dblks.shape)
+    w = lax.linalg.triangular_solve(L, eye, left_side=True, lower=True)
+    return lax.linalg.triangular_solve(L, w, left_side=True, lower=True,
+                                       transpose_a=True)
+
+
+def _mm(Wk, V):
+    """(K, b, b) @ (..., K, b) -> (..., K, b)."""
+    return jnp.einsum("kab,...kb->...ka", Wk, V)
+
+
+def cr_factor(Dblk, Eblk):
+    """Block cyclic-reduction factorization of the SPD block-tridiagonal
+    reduced KKT — odd-even elimination, i.e. block Cholesky under the
+    nested-dissection ordering. Sequential depth is O(log T) instead of the
+    scan recurrence's O(T): each level eliminates the odd-indexed blocks
+    with one round of batched (K, b, b) GEMMs, which is the right shape for
+    the MXU, where a 500-step scan of single-block ops is pure latency.
+
+    Stages are padded with decoupled identity blocks to the next power of
+    two (E = 0 on the padding, so the dummy stages influence nothing).
+    Returns the per-level pytree consumed by :func:`cr_solve`.
+    """
+    T, b = Dblk.shape[0], Dblk.shape[1]
+    Tp = 1
+    while Tp < T:
+        Tp *= 2
+    dtype = Dblk.dtype
+    if Tp != T:
+        eye = jnp.broadcast_to(jnp.eye(b, dtype=dtype), (Tp - T, b, b))
+        Dblk = jnp.concatenate([Dblk, eye], axis=0)
+        Eblk = jnp.concatenate(
+            [Eblk, jnp.zeros((Tp - 1 - (T - 1), b, b), dtype)], axis=0)
+
+    levels = []
+    D, E = Dblk, Eblk
+    while D.shape[0] > 1:
+        K = D.shape[0] // 2
+        D_o = D[1::2]                       # odd blocks (K, b, b)
+        Dinv_o = _spd_inv(D_o)
+        Ez = jnp.concatenate([E, jnp.zeros((1, b, b), dtype)], axis=0)
+        E_even = Ez[0::2][:K]               # E_{2i},   i = 0..K-1
+        E_oddr = Ez[1::2][:K]               # E_{2i+1}, i = 0..K-1 (last 0)
+        # Wl[i] = E_{2i-1} D_{2i-1}^{-1} (left odd neighbor; zero at i=0)
+        Wl = jnp.concatenate(
+            [jnp.zeros((1, b, b), dtype),
+             jnp.einsum("kab,kbc->kac", E_oddr[:-1], Dinv_o[:-1])], axis=0)
+        # Wr[i] = E_{2i}^T D_{2i+1}^{-1} (right odd neighbor; always there)
+        Wr = jnp.einsum("kba,kbc->kac", E_even, Dinv_o)
+        # next level (even blocks only):
+        Dn = (D[0::2]
+              - jnp.concatenate(
+                  [jnp.zeros((1, b, b), dtype),
+                   jnp.einsum("kab,kcb->kac", Wl[1:], E_oddr[:-1])], axis=0)
+              - jnp.einsum("kab,kbc->kac", Wr, E_even))
+        En = -jnp.einsum("kab,kbc->kac", Wl[1:], E_even[:-1])
+        levels.append((Dinv_o, Wl, Wr))
+        D, E = Dn, En
+    top_inv = _spd_inv(D)                   # (1, b, b)
+    # NB: a plain (levels, top_inv) pytree of arrays — safe to carry
+    # through lax.while_loop (T and Tp are recovered statically from the
+    # level count in cr_solve, never stored as leaves)
+    return tuple(levels), top_inv
+
+
+def cr_solve(fac, rhs):
+    """Solve R x = rhs with a :func:`cr_factor` factor. ``rhs`` (..., T, b)
+    with optional leading batch dims — every level is a batched einsum, so
+    the whole lane batch goes through together (no vmapped scan)."""
+    levels, top_inv = fac
+    T = rhs.shape[-2]
+    Tp = 1 << len(levels)
+    b = rhs.shape[-1]
+    if Tp != T:
+        pad = jnp.zeros(rhs.shape[:-2] + (Tp - T, b), rhs.dtype)
+        rhs = jnp.concatenate([rhs, pad], axis=-2)
+
+    # down-sweep: reduce to the top block, stacking the odd rhs per level
+    stack = []
+    v = rhs
+    for (Dinv_o, Wl, Wr) in levels:
+        v_e = v[..., 0::2, :]
+        v_o = v[..., 1::2, :]
+        z1 = jnp.zeros(v_o.shape[:-2] + (1, b), v.dtype)
+        v_o_left = jnp.concatenate([z1, v_o[..., :-1, :]], axis=-2)
+        stack.append(v_o)
+        v = v_e - _mm(Wl, v_o_left) - _mm(Wr, v_o)
+
+    x = _mm(top_inv, v)                     # (..., 1, b)
+
+    # up-sweep: recover the odd blocks level by level
+    for (Dinv_o, Wl, Wr), v_o in zip(reversed(levels), reversed(stack)):
+        x_e = x
+        z1 = jnp.zeros(x_e.shape[:-2] + (1, b), x.dtype)
+        x_e_next = jnp.concatenate([x_e[..., 1:, :], z1], axis=-2)
+        WlT_next = jnp.concatenate(
+            [jnp.swapaxes(Wl[1:], -1, -2),
+             jnp.zeros((1, b, b), x.dtype)], axis=0)
+        x_o = (_mm(Dinv_o, v_o)
+               - _mm(jnp.swapaxes(Wr, -1, -2), x_e)
+               - _mm(WlT_next, x_e_next))
+        x = jnp.stack([x_e, x_o], axis=-2).reshape(
+            x_e.shape[:-2] + (2 * x_e.shape[-2], b))
+    return x[..., :T, :]
+
+
+# ---------------------------------------------------------------------------
 # ADMM engine (shared structure, lane batch, shared adaptive rho)
 # ---------------------------------------------------------------------------
 
@@ -280,8 +399,7 @@ class TCarry(NamedTuple):
     z: jnp.ndarray        # (B, m)
     x_prev: jnp.ndarray
     y_prev: jnp.ndarray
-    L: jnp.ndarray        # (T, b, b)
-    F: jnp.ndarray        # (T-1, b, b)
+    fac: tuple            # (L, F) scan factor or cr_factor pytree
     rho_vec: jnp.ndarray  # (m,)
     rho_inv: jnp.ndarray
     rho_bar: jnp.ndarray
@@ -342,8 +460,7 @@ class TFactor(NamedTuple):
     rho vector implied by the current bounds classification matches the
     cached one bit-for-bit; otherwise one banded refactorization runs
     in-jit."""
-    L: jnp.ndarray         # (T, b, b)
-    F: jnp.ndarray         # (T-1, b, b)
+    fac: tuple             # (L, F) scan factor or cr_factor pytree
     rho_vec: jnp.ndarray   # (m,)
     rho_bar: jnp.ndarray   # scalar
 
@@ -351,11 +468,26 @@ class TFactor(NamedTuple):
 @with_precision
 def solve_banded(data: BandedData, qb, lb, ub, scal: BandedScaling,
                  dyn: DynParams, x0, y0, z0, factor0: TFactor = None,
-                 with_factor: bool = False):
+                 with_factor: bool = False, kkt: str = "cr"):
     """Batched banded ADMM on scaled data. qb (B, n); lb/ub (B, m);
     x0 (B, T, b); y0/z0 (B, m). Returns a dict of result leaves (plus the
-    final :class:`TFactor` when ``with_factor``)."""
+    final :class:`TFactor` when ``with_factor``).
+
+    ``kkt`` selects the block-tridiagonal factorization: ``"cr"`` (block
+    cyclic reduction, O(log T) sequential depth — the TPU default) or
+    ``"scan"`` (the classic O(T) block-Cholesky recurrence)."""
     dtype = data.Pd.dtype
+
+    def _make_factor(rv):
+        Dblk, Eblk = _banded_normal_blocks(data, rv, dyn.sigma)
+        if kkt == "cr":
+            return cr_factor(Dblk, Eblk)
+        return blocktri_factor(Dblk, Eblk)
+
+    def _solve_R(fac, rhs):
+        if kkt == "cr":
+            return cr_solve(fac, rhs)
+        return blocktri_solve(fac[0], fac[1], rhs)
     B = qb.shape[0]
     T, b = data.Pd.shape[0], data.Pd.shape[1]
     m = lb.shape[1]
@@ -370,27 +502,21 @@ def solve_banded(data: BandedData, qb, lb, ub, scal: BandedScaling,
         rho0 = jnp.clip(jnp.asarray(dyn.rho_bar, dtype), C.RHO_MIN,
                         C.RHO_MAX)
         rho_vec, rho_inv = _rho_vec_of(loose, eq, rho0)
-        Dblk, Eblk = _banded_normal_blocks(data, rho_vec, dyn.sigma)
-        L0, F0 = blocktri_factor(Dblk, Eblk)
+        fac0 = _make_factor(rho_vec)
     else:
         rho0 = jnp.clip(jnp.asarray(factor0.rho_bar, dtype), C.RHO_MIN,
                         C.RHO_MAX)
         rho_vec, rho_inv = _rho_vec_of(loose, eq, rho0)
         reuse = jnp.all(rho_vec == factor0.rho_vec)
-
-        def _refactor(_):
-            Dblk, Eblk = _banded_normal_blocks(data, rho_vec, dyn.sigma)
-            return blocktri_factor(Dblk, Eblk)
-
-        L0, F0 = lax.cond(reuse, lambda _: (factor0.L, factor0.F),
-                          _refactor, None)
+        fac0 = lax.cond(reuse, lambda _: factor0.fac,
+                        lambda _: _make_factor(rho_vec), None)
 
     check_t = jnp.maximum(dyn.check_termination, 1)
     rho_int = jnp.maximum(dyn.adaptive_rho_interval, 1)
     inf0 = jnp.full((B,), jnp.inf, dtype)
 
     carry0 = TCarry(
-        x=x0, y=y0, z=z0, x_prev=x0, y_prev=y0, L=L0, F=F0,
+        x=x0, y=y0, z=z0, x_prev=x0, y_prev=y0, fac=fac0,
         rho_vec=rho_vec, rho_inv=rho_inv, rho_bar=rho0,
         it=jnp.int32(0),
         status=jnp.full((B,), C.RUNNING, jnp.int32),
@@ -409,7 +535,7 @@ def solve_banded(data: BandedData, qb, lb, ub, scal: BandedScaling,
 
         rhs = (dyn.sigma * c.x - qblk
                + _aty(data, c.rho_vec * c.z - c.y))
-        xt = blocktri_solve(c.L, c.F, rhs)
+        xt = _solve_R(c.fac, rhs)
         zt = _ax(data, xt)
         x_new = dyn.alpha * xt + (1.0 - dyn.alpha) * c.x
         v = dyn.alpha * zt + (1.0 - dyn.alpha) * c.z + c.rho_inv * c.y
@@ -465,27 +591,25 @@ def solve_banded(data: BandedData, qb, lb, ub, scal: BandedScaling,
 
             def refactor(_):
                 rv, ri = _rho_vec_of(loose, eq, est)
-                Dn, En = _banded_normal_blocks(data, rv, dyn.sigma)
-                Ln, Fn = blocktri_factor(Dn, En)
-                return est, rv, ri, Ln, Fn, c.rho_updates + 1
+                return est, rv, ri, _make_factor(rv), c.rho_updates + 1
 
             def keep(_):
-                return (c.rho_bar, c.rho_vec, c.rho_inv, c.L, c.F,
+                return (c.rho_bar, c.rho_vec, c.rho_inv, c.fac,
                         c.rho_updates)
 
-            rb, rv, ri, Ln, Fn, ru = lax.cond(trig, refactor, keep, None)
-            return rb, rv, ri, Ln, Fn, ru, est
+            rb, rv, ri, facn, ru = lax.cond(trig, refactor, keep, None)
+            return rb, rv, ri, facn, ru, est
 
         def no_adapt(_):
-            return (c.rho_bar, c.rho_vec, c.rho_inv, c.L, c.F,
+            return (c.rho_bar, c.rho_vec, c.rho_inv, c.fac,
                     c.rho_updates, c.rho_estimate)
 
-        rb2, rv2, ri2, L2, F2, ru2, re2 = lax.cond(do_rho, adapt, no_adapt,
-                                                   None)
+        rb2, rv2, ri2, fac2, ru2, re2 = lax.cond(do_rho, adapt, no_adapt,
+                                                 None)
 
         return TCarry(
             x=x_new, y=y_new, z=z_new, x_prev=x_prev, y_prev=y_prev,
-            L=L2, F=F2, rho_vec=rv2, rho_inv=ri2, rho_bar=rb2, it=it,
+            fac=fac2, rho_vec=rv2, rho_inv=ri2, rho_bar=rb2, it=it,
             status=status, iters=iters,
             pri_res=jnp.where((do_check | do_rho) & live, res.pri_res,
                               c.pri_res),
@@ -527,12 +651,13 @@ def solve_banded(data: BandedData, qb, lb, ub, scal: BandedScaling,
                rho_updates=jnp.broadcast_to(final.rho_updates, (B_,)),
                xbar=final.x, ybar=final.y, zbar=final.z)
     if with_factor:
-        return out, TFactor(L=final.L, F=final.F, rho_vec=final.rho_vec,
+        return out, TFactor(fac=final.fac, rho_vec=final.rho_vec,
                             rho_bar=final.rho_bar)
     return out
 
 
-_solve_banded_jit = jax.jit(solve_banded, static_argnames=("with_factor",))
+_solve_banded_jit = jax.jit(solve_banded,
+                            static_argnames=("with_factor", "kkt"))
 
 
 # ---------------------------------------------------------------------------
@@ -551,9 +676,13 @@ class BlockTridiagSolver:
     def __init__(self):
         self._is_setup = False
 
-    def setup(self, P=None, A=None, block: int = None, **settings):
+    def setup(self, P=None, A=None, block: int = None,
+              kkt_solver: str = "cr", **settings):
         if block is None:
             raise ValueError("block (stage size b) is required")
+        if kkt_solver not in ("cr", "scan"):
+            raise ValueError("kkt_solver must be 'cr' or 'scan'")
+        self._kkt = kkt_solver
         self.settings = Settings.from_kwargs(**settings)
         dtype = self.settings.resolve_dtype()
         Pd, Pe, arow, br, T, b = banded_from_scipy(P, A, block)
@@ -649,5 +778,5 @@ class BlockTridiagSolver:
         zb = _ax(self._data, xb)
         out, self._factor = _solve_banded_jit(
             self._data, qb, lb, ub, scal, dyn, xb, yb, zb,
-            factor0=factor0, with_factor=True)
+            factor0=factor0, with_factor=True, kkt=self._kkt)
         return out

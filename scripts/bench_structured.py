@@ -75,6 +75,11 @@ def main():
     out = st.solve(q, l, u)
     x1 = np.asarray(out["x"])[0]
     t_first = time.perf_counter() - t0
+    # pre-warm the remaining jit signatures (with-factor-cache and
+    # with-warm-start) so cold/warm below time execution, not compilation
+    np.asarray(st.solve(q, l, u)["x"])
+    np.asarray(st.solve(q, l, u, x0=np.asarray(out["x"]),
+                        y0=np.asarray(out["y"]))["x"])
     t0 = time.perf_counter()
     out = st.solve(q, l, u)
     np.asarray(out["x"])
@@ -96,7 +101,10 @@ def main():
     fmt = "bcoo" if args.cpu else "padded"
     sm = SparseModel()
     t0 = time.perf_counter()
-    sm.setup(P=Ps, q=q, A=As, l=l, u=u, max_iter=4000,
+    # time_limit engages the rate-adaptive chunked driver — required on
+    # runtimes that kill single device dispatches after ~60 s (a full CG
+    # solve at this size runs minutes on-device)
+    sm.setup(P=Ps, q=q, A=As, l=l, u=u, max_iter=4000, time_limit=240.0,
              dtype=np.float32, sparse_format=fmt, **eps)
     t_setup = time.perf_counter() - t0
     t0 = time.perf_counter()

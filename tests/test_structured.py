@@ -197,3 +197,24 @@ def test_persistent_factor_reuse_matches_fresh():
                                np.asarray(out_rho_fresh["x"]),
                                rtol=1e-6, atol=1e-8)
     assert int(out_rho["iter"][0]) == int(out_rho_fresh["iter"][0])
+
+
+def test_cr_and_scan_kkt_solvers_agree():
+    """The block-cyclic-reduction factorization (structured.py::cr_factor,
+    O(log T) depth) and the scan block-Cholesky recurrence must produce the
+    same solver behavior: same statuses, same iteration counts, solutions
+    equal to tight tolerance."""
+    P, q, A, l, u, b = _control(nx=6, nu=3, T=11, seed=12)  # odd T: padding
+    kw = dict(eps_abs=1e-8, eps_rel=1e-8, max_iter=20000, verbose=False)
+    out = {}
+    for mode in ("cr", "scan"):
+        s_ = BlockTridiagSolver().setup(
+            P=sp.csc_matrix(P), A=sp.csc_matrix(A), block=b,
+            kkt_solver=mode, **kw)
+        out[mode] = s_.solve(q, l, u)
+    assert int(out["cr"]["status"][0]) == C.SOLVED
+    assert int(out["cr"]["status"][0]) == int(out["scan"]["status"][0])
+    assert int(out["cr"]["iter"][0]) == int(out["scan"]["iter"][0])
+    np.testing.assert_allclose(np.asarray(out["cr"]["x"]),
+                               np.asarray(out["scan"]["x"]),
+                               rtol=1e-7, atol=1e-9)
