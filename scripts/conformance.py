@@ -3,7 +3,7 @@
 Runs every problem family in ``osqp_tpu.problems`` across the
 ``SIZE_GRID`` (S/M/L, roughly an order of magnitude in n per family,
 mirroring the OSQP-paper benchmark scaling protocol, Stellato et al. 2020
-§8) on four engines:
+§8) on the engines:
 
   - ``jax-direct``   Model, dense reduced-KKT Cholesky path
   - ``jax-cg``       Model, matrix-free indirect (CG) path
@@ -56,8 +56,21 @@ X_ATOL = 5e-3       # x agreement (looser: x need not be unique when P is
 #                     singular along the active-constraint nullspace)
 
 
-def run_engine(engine, P, q, A, l, u):
+def run_engine(engine, P, q, A, l, u, kw=None):
     t0 = time.perf_counter()
+    if engine == "structured":
+        import scipy.sparse as sp
+        from osqp_tpu.structured import BlockTridiagSolver
+        st = BlockTridiagSolver().setup(
+            P=sp.csc_matrix(P), A=sp.csc_matrix(A),
+            block=kw["nx"] + kw["nu"], eps_abs=EPS, eps_rel=EPS,
+            max_iter=MAX_ITER, verbose=False, dtype=np.float64)
+        out = st.solve(q, l, u)
+        sv = int(np.asarray(out["status"])[0])
+        status = "Solved" if sv == 1 else f"status:{sv}"
+        return (status, np.asarray(out["x"])[0],
+                float(np.asarray(out["obj_val"])[0]),
+                int(np.asarray(out["iter"])[0]), time.perf_counter() - t0)
     if engine == "native":
         model = NativeModel()
         model.setup(P=P, q=q, A=A, l=l, u=u, verbose=False, eps_abs=EPS,
@@ -100,9 +113,12 @@ def main():
                 print(f"SKIP {fam}/{label}: oracle status={o.status} "
                       f"kkt={o.kkt_res:.1e}")
                 continue
-            for eng in engines:
+            fam_engines = engines + (
+                ["structured"] if fam == "control_qp" else [])
+            for eng in fam_engines:
                 try:
-                    status, x, obj, iters, dt = run_engine(eng, P, q, A, l, u)
+                    status, x, obj, iters, dt = run_engine(eng, P, q, A, l, u,
+                                                           kw=kw)
                 except Exception as e:  # pragma: no cover
                     rows.append(dict(family=fam, size=label, n=n, m=m,
                                      engine=eng, status=f"ERROR:{e}",
