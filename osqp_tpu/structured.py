@@ -673,8 +673,13 @@ class BlockTridiagSolver:
     without re-scaling or re-analysing structure.
     """
 
-    def __init__(self):
+    def __init__(self, mesh=None):
+        """``mesh``: optional 1-axis :class:`jax.sharding.Mesh`; the lane
+        batch is sharded over it (the banded data and factor replicate,
+        per-lane work partitions, and the shared-rho batch aggregates
+        lower to psum under GSPMD)."""
         self._is_setup = False
+        self._mesh = mesh
 
     def setup(self, P=None, A=None, block: int = None,
               kkt_solver: str = "cr", **settings):
@@ -776,6 +781,16 @@ class BlockTridiagSolver:
         else:
             yb = jnp.asarray(np.atleast_2d(y0), dtype) * (scal.c * scal.Einv)
         zb = _ax(self._data, xb)
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as Pspec
+            axis = self._mesh.axis_names[0]
+            shard = NamedSharding(self._mesh, Pspec(axis))
+            ndev = self._mesh.size
+            if B % ndev != 0:
+                raise ValueError(f"batch {B} not divisible by the "
+                                 f"{ndev}-device mesh")
+            qb, lb, ub = (jax.device_put(v, shard) for v in (qb, lb, ub))
+            xb, yb, zb = (jax.device_put(v, shard) for v in (xb, yb, zb))
         out, self._factor = _solve_banded_jit(
             self._data, qb, lb, ub, scal, dyn, xb, yb, zb,
             factor0=factor0, with_factor=True, kkt=self._kkt)

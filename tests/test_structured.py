@@ -218,3 +218,29 @@ def test_cr_and_scan_kkt_solvers_agree():
     np.testing.assert_allclose(np.asarray(out["cr"]["x"]),
                                np.asarray(out["scan"]["x"]),
                                rtol=1e-7, atol=1e-9)
+
+
+def test_structured_batch_sharded_over_mesh():
+    """BlockTridiagSolver(mesh=...) shards the lane batch over a device
+    mesh; results must match the unsharded solver exactly (the shared-rho
+    aggregation lowers to a psum under GSPMD, so every device takes the
+    same rho decisions)."""
+    import jax
+    from jax.sharding import Mesh
+    P, q, A, l, u, b = _control(nx=5, nu=2, T=8, seed=3)
+    mesh = Mesh(np.array(jax.devices()), ("b",))
+    B = 2 * len(jax.devices())
+    rng = np.random.RandomState(0)
+    qs = q[None] + 0.2 * rng.randn(B, q.shape[0])
+    lt, ut = np.tile(l, (B, 1)), np.tile(u, (B, 1))
+    kw = dict(eps_abs=1e-6, eps_rel=1e-6, verbose=False)
+    out = BlockTridiagSolver(mesh=mesh).setup(
+        P=sp.csc_matrix(P), A=sp.csc_matrix(A), block=b, **kw).solve(
+        qs, lt, ut)
+    assert len(out["x"].sharding.device_set) == len(jax.devices())
+    ref = BlockTridiagSolver().setup(
+        P=sp.csc_matrix(P), A=sp.csc_matrix(A), block=b, **kw).solve(
+        qs, lt, ut)
+    assert np.all(np.asarray(out["status"]) == C.SOLVED)
+    np.testing.assert_allclose(np.asarray(out["x"]), np.asarray(ref["x"]),
+                               rtol=1e-7, atol=1e-9)
