@@ -173,10 +173,11 @@ def _kernel(scal_ref,  # SMEM: [sigma, alpha, max_iter, check_every,
                     dym = jnp.minimum(dyn_, 0.0)
                     # NB plain logical ops, not bool-valued where():
                     # Mosaic rejects the i8->i1 trunc a bool select emits
-                    bound_ok = jnp.all(
-                        (jnp.logical_not(u_infs) | (dyp <= eps_pinf))
-                        & (jnp.logical_not(l_infs) | (-dym <= eps_pinf)),
-                        axis=1, keepdims=True)
+                    bound_ok = jnp.min(
+                        ((jnp.logical_not(u_infs) | (dyp <= eps_pinf))
+                         & (jnp.logical_not(l_infs)
+                            | (-dym <= eps_pinf))).astype(pt),
+                        axis=1, keepdims=True) > 0.5
                     lhs = jnp.sum(jnp.where(u_infs, 0.0, u_uss * dyp)
                                   + jnp.where(l_infs, 0.0, l_uss * dym),
                                   axis=1, keepdims=True)
@@ -198,21 +199,27 @@ def _kernel(scal_ref,  # SMEM: [sigma, alpha, max_iter, check_every,
                               < -eps_dinf)
                     A_dx = Einv_r * jnp.dot(dxn_bar, At,
                                             preferred_element_type=pt)
-                    cond_A = jnp.all(
-                        (u_infs | (A_dx <= eps_dinf))
-                        & (l_infs | (A_dx >= -eps_dinf)),
-                        axis=1, keepdims=True)
+                    cond_A = jnp.min(
+                        ((u_infs | (A_dx <= eps_dinf))
+                         & (l_infs | (A_dx >= -eps_dinf))).astype(pt),
+                        axis=1, keepdims=True) > 0.5
                     dual = ((d_nrm > eps_dinf)
                             & (rowmax(P_dx) <= eps_dinf) & cond_q & cond_A)
 
+                    # status codes as pt-typed scalars: a where() whose
+                    # branches are BOTH python floats promotes to f64 under
+                    # x64, and Mosaic rejects f64 inside the kernel
+                    c_ncvx = jnp.asarray(C.NON_CONVEX, pt)
+                    c_sol = jnp.asarray(C.SOLVED, pt)
+                    c_pinf = jnp.asarray(C.PRIMAL_INFEASIBLE, pt)
+                    c_dinf = jnp.asarray(C.DUAL_INFEASIBLE, pt)
+                    c_run = jnp.asarray(C.RUNNING, pt)
                     st_new = jnp.where(
-                        bad, float(C.NON_CONVEX),
-                        jnp.where(solved, float(C.SOLVED),
-                                  jnp.where(prim, float(C.PRIMAL_INFEASIBLE),
-                                            jnp.where(dual,
-                                                      float(C.DUAL_INFEASIBLE),
-                                                      float(C.RUNNING)
-                                                      )))).astype(pt)
+                        bad, c_ncvx,
+                        jnp.where(solved, c_sol,
+                                  jnp.where(prim, c_pinf,
+                                            jnp.where(dual, c_dinf,
+                                                      c_run))))
                     old = stats_ref[sl]                       # (H, 8)
                     was_live = old[:, 0:1] == C.RUNNING
                     newly = was_live & (st_new != C.RUNNING)
@@ -226,7 +233,9 @@ def _kernel(scal_ref,  # SMEM: [sigma, alpha, max_iter, check_every,
                         jnp.where(was_live, dun, old[:, 5:6]),
                         old[:, 6:8]], axis=1)
 
-            alldone = jnp.all(stats_ref[:][:, 0:1] != C.RUNNING)
+            # NB numeric min-reduction, not jnp.all: Mosaic's reduce_and
+            # proxy lowers through f64 under x64 and rejects the scalar
+            alldone = jnp.min(jnp.abs(stats_ref[:][:, 0:1])) > 0.5
             return it, alldone, x, t, z, xp, tp
 
         def cond(carry):
@@ -236,7 +245,7 @@ def _kernel(scal_ref,  # SMEM: [sigma, alpha, max_iter, check_every,
         t0 = rho_inv * y0_ref[:]
         it, _, x, t, z, xp, tp = lax.while_loop(
             cond, body,
-            (jnp.int32(0), jnp.all(status0_ref[:] != C.RUNNING),
+            (jnp.int32(0), jnp.min(jnp.abs(status0_ref[:])) > 0.5,
              x0_ref[:], t0, z0_ref[:], x0_ref[:], t0))
 
         # non-classified lanes ran to the final iteration count

@@ -8,9 +8,17 @@ compared. Small shapes keep interpreter time low.
 import numpy as np
 
 import jax
+import pytest
 
 from osqp_tpu.batch import BatchedSolver
 from osqp_tpu.settings import Settings
+
+#: Mosaic has no float64 kernels — the f64 differential tests run the real
+#: kernels only in CPU interpret mode; on hardware the batched engines are
+#: float32-first (STATUS.md known gaps).
+_skip_f64_on_tpu = pytest.mark.skipif(
+    jax.default_backend() in ("tpu", "axon"),
+    reason="f64 Pallas kernels unsupported on TPU (f32-first engines)")
 
 
 def make_batch(B, n, m, seed=0):
@@ -24,6 +32,7 @@ def make_batch(B, n, m, seed=0):
     return P, q, A, c - w, c + w
 
 
+@_skip_f64_on_tpu
 def test_fused_matches_xla_loop():
     B, n, m = 3, 8, 16
     P, q, A, l, u = make_batch(B, n, m)
@@ -39,6 +48,7 @@ def test_fused_matches_xla_loop():
                                atol=1e-9)
 
 
+@_skip_f64_on_tpu
 def test_fused_with_adaptive_rho_trigger():
     # force a rho refactor inside the fused loop (interval = one chunk)
     B, n, m = 2, 8, 12
