@@ -18,6 +18,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .batch_core import merge_polish as _merge_polish
@@ -115,6 +116,37 @@ def _prepared_solve_impl(Pb, Ab, scal, q, l, u, x0, y0, dyn,
 _prepared_solve_jit = jax.jit(
     _prepared_solve_impl,
     static_argnames=("group", "interpret", "adaptive", "lowp"))
+
+
+def _rollout_impl(Pb, Ab, scal, q0, l0, u0, x0, y0, dyn,
+                  factor0: FactorCache, step_fn, n_steps: int,
+                  keep_xs: bool, group: int, interpret: bool,
+                  adaptive: bool, lowp: bool):
+    """Jitted closed-loop rollout: lax.scan over prepared re-solves with
+    warm starts and the KKT factor carried step to step."""
+
+    def body(carry, k):
+        q, l, u, x, y, factor = carry
+        out, fac = _prepared_solve_impl(
+            Pb, Ab, scal, q, l, u, x, y, dyn, factor, group=group,
+            interpret=interpret, adaptive=adaptive, lowp=lowp)
+        q2, l2, u2 = step_fn(out.x, (q, l, u), k)
+        per_step = dict(status=out.status, iter=out.iter,
+                        obj_val=out.obj_val)
+        if keep_xs:
+            per_step["xs"] = out.x
+        return (q2, l2, u2, out.x, out.y, fac), per_step
+
+    (qf, lf, uf, xf, yf, fac), stacked = lax.scan(
+        body, (q0, l0, u0, x0, y0, factor0),
+        jnp.arange(n_steps, dtype=jnp.int32))
+    return stacked, (xf, yf), fac
+
+
+_rollout_jit = jax.jit(
+    _rollout_impl,
+    static_argnames=("step_fn", "n_steps", "keep_xs", "group", "interpret",
+                     "adaptive", "lowp"))
 
 
 def _vmapped_solve(data: QPData, dyn, scaling_iters, x0, y0,
@@ -294,6 +326,56 @@ class BatchedSolver:
         if s.polish:
             out = self._apply_polish(p["P"], p["A"], q, l, u, dyn, dtype, out)
         return out
+
+    def solve_rollout(self, q0, l0, u0, step_fn, n_steps: int,
+                      x0=None, y0=None, keep_xs: bool = False):
+        """Closed-loop receding-horizon rollout, entirely on device.
+
+        Runs ``n_steps`` prepared re-solves as ONE compiled program
+        (``lax.scan``): step k solves the batch at data ``(q_k, l_k, u_k)``,
+        then ``q_{k+1}, l_{k+1}, u_{k+1} = step_fn(x_k, (q_k, l_k, u_k), k)``
+        with ``x_k`` the step's (unscaled, per-lane) solutions. Warm starts
+        and the adapted KKT factor carry from step to step, so no host
+        round-trip separates control steps — the dispatch/transfer latency
+        that dominates per-step serving cost is paid once per rollout.
+
+        ``step_fn`` must be jax-traceable (it runs inside jit) and return
+        arrays of the same shapes. Returns a dict with per-step stacked
+        ``status``/``iter``/``obj_val`` (shape (n_steps, B)), the final
+        ``x``/``y`` (B, n)/(B, m), and ``xs`` (n_steps, B, n) when
+        ``keep_xs``. Polish is not applied inside rollouts (polish the
+        final iterate separately if needed). Requires :meth:`prepare`.
+
+        Sizing note for relayed runtimes that cap single-dispatch wall
+        time: the whole rollout is one dispatch — keep
+        ``n_steps × per-solve time`` under the cap."""
+        if not hasattr(self, "_prep"):
+            raise RuntimeError("call prepare(P, A) first")
+        s = self.settings
+        dtype = s.resolve_dtype()
+        p = self._prep
+        q0 = jnp.asarray(q0, dtype)
+        l0 = jnp.asarray(l0, dtype)
+        u0 = jnp.asarray(u0, dtype)
+        B, n = q0.shape
+        m = l0.shape[-1]
+        x0 = jnp.zeros((B, n), dtype) if x0 is None \
+            else jnp.asarray(x0, dtype)
+        y0 = jnp.zeros((B, m), dtype) if y0 is None \
+            else jnp.asarray(y0, dtype)
+        dyn = dyn_from_settings(s, dtype)
+        group = _pick_group(B, n, m, jnp.dtype(dtype).itemsize)
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        outs, (xf, yf), fac = _rollout_jit(
+            p["Pb"], p["Ab"], p["scal"], q0, l0, u0, x0, y0, dyn,
+            p["factor"], step_fn=step_fn, n_steps=int(n_steps),
+            keep_xs=bool(keep_xs), group=group, interpret=interpret,
+            adaptive=bool(s.adaptive_rho), lowp=bool(s.mixed_precision))
+        p["factor"] = fac
+        outs = dict(outs)
+        outs["x"] = xf
+        outs["y"] = yf
+        return outs
 
     def _dispatch(self, Pm, q, A, l, u, x0, y0, dyn, dtype,
                   do_polish: bool) -> SolveOutput:

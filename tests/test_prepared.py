@@ -142,3 +142,44 @@ def test_prepared_with_polish():
     out = solver.solve_prepared(q, l, u)
     assert np.all(np.asarray(out.status) == C.SOLVED)
     assert np.asarray(out.status_polish).min() >= 0
+
+
+def test_rollout_matches_host_loop():
+    """solve_rollout (the on-device closed-loop scan) must reproduce the
+    solve_prepared host loop exactly: same statuses, iterations, and
+    iterates at every step, with warm starts and the adapted factor carried
+    identically."""
+    import jax.numpy as jnp
+    P, q, A, l, u = _batch(B=8)
+    B, n = q.shape
+    key = jnp.asarray(np.random.RandomState(7).randn(n) * 0.01)
+
+    def step(x, qlu, k):
+        qk, lk, uk = qlu
+        return qk + key, lk, uk
+
+    s1 = BatchedSolver(settings=_settings(), kkt_mode="shared").prepare(
+        P, A, q=q)
+    out = s1.solve_rollout(q, l, u, step, n_steps=4, keep_xs=True)
+    assert np.asarray(out["status"]).shape == (4, B)
+    assert np.all(np.asarray(out["status"]) == C.SOLVED)
+
+    s2 = BatchedSolver(settings=_settings(), kkt_mode="shared").prepare(
+        P, A, q=q)
+    qk = jnp.asarray(q)
+    xk = yk = None
+    for k in range(4):
+        o = s2.solve_prepared(qk, l, u, x0=xk, y0=yk)
+        np.testing.assert_allclose(np.asarray(out["xs"][k]),
+                                   np.asarray(o.x), rtol=0, atol=0)
+        assert np.all(np.asarray(out["iter"][k]) == np.asarray(o.iter))
+        xk, yk = o.x, o.y
+        qk = qk + key
+    np.testing.assert_array_equal(np.asarray(out["x"]), np.asarray(xk))
+
+
+def test_rollout_requires_prepare():
+    s = BatchedSolver(settings=_settings(), kkt_mode="shared")
+    with pytest.raises(RuntimeError, match="prepare"):
+        s.solve_rollout(np.zeros((4, 8)), np.zeros((4, 12)),
+                        np.ones((4, 12)), lambda x, qlu, k: qlu, 2)
