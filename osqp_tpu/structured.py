@@ -660,6 +660,43 @@ _solve_banded_jit = jax.jit(solve_banded,
                             static_argnames=("with_factor", "kkt"))
 
 
+def _banded_rollout_impl(data, scal, q0, l0, u0, x0, y0, dyn,
+                         factor0: TFactor, step_fn, n_steps: int,
+                         keep_xs: bool, kkt: str):
+    """Jitted closed-loop rollout over banded re-solves: lax.scan carries
+    warm starts and the TFactor step to step (same pattern as
+    batch._rollout_impl)."""
+    B = q0.shape[0]
+    T, b = data.Pd.shape[0], data.Pd.shape[1]
+
+    def body(carry, k):
+        q, l, u, x, y, fac = carry
+        qb = q * (scal.c * scal.D)
+        lb = jnp.clip(l, -C.OSQP_INFTY, C.OSQP_INFTY) * scal.E
+        ub = jnp.clip(u, -C.OSQP_INFTY, C.OSQP_INFTY) * scal.E
+        xb = (x * scal.Dinv).reshape(B, T, b)
+        yb = y * (scal.c * scal.Einv)
+        zb = _ax(data, xb)
+        out, fac2 = solve_banded(data, qb, lb, ub, scal, dyn, xb, yb, zb,
+                                 factor0=fac, with_factor=True, kkt=kkt)
+        q2, l2, u2 = step_fn(out["x"], (q, l, u), k)
+        per_step = dict(status=out["status"], iter=out["iter"],
+                        obj_val=out["obj_val"])
+        if keep_xs:
+            per_step["xs"] = out["x"]
+        return (q2, l2, u2, out["x"], out["y"], fac2), per_step
+
+    (qf, lf, uf, xf, yf, fac), stacked = lax.scan(
+        body, (q0, l0, u0, x0, y0, factor0),
+        jnp.arange(n_steps, dtype=jnp.int32))
+    return stacked, (xf, yf), fac
+
+
+_banded_rollout_jit = jax.jit(
+    _banded_rollout_impl,
+    static_argnames=("step_fn", "n_steps", "keep_xs", "kkt"))
+
+
 # ---------------------------------------------------------------------------
 # Host-facing model
 # ---------------------------------------------------------------------------
@@ -795,3 +832,46 @@ class BlockTridiagSolver:
             self._data, qb, lb, ub, scal, dyn, xb, yb, zb,
             factor0=factor0, with_factor=True, kkt=self._kkt)
         return out
+
+    def solve_rollout(self, q0, l0, u0, step_fn, n_steps: int,
+                      x0=None, y0=None, keep_xs: bool = False):
+        """Closed-loop receding-horizon rollout on the structured engine,
+        entirely on device (one compiled program; same contract as
+        :meth:`BatchedSolver.solve_rollout`): step k solves at
+        ``(q_k, l_k, u_k)``, then ``step_fn(x_k, (q_k, l_k, u_k), k)``
+        produces the next data; warm starts and the banded factor carry
+        across steps. Returns stacked per-step ``status/iter/obj_val``
+        (+ ``xs`` when ``keep_xs``) and the final ``x``/``y``."""
+        if not self._is_setup:
+            raise RuntimeError("setup() first")
+        dtype = self._dtype
+        s = self.settings
+        q0 = jnp.asarray(np.atleast_2d(np.asarray(q0, float)), dtype)
+        l0 = jnp.asarray(np.atleast_2d(np.asarray(l0, float)), dtype)
+        u0 = jnp.asarray(np.atleast_2d(np.asarray(u0, float)), dtype)
+        B = q0.shape[0]
+        x0 = jnp.zeros((B, self.n), dtype) if x0 is None \
+            else jnp.asarray(np.atleast_2d(x0), dtype)
+        y0 = jnp.zeros((B, self.m), dtype) if y0 is None \
+            else jnp.asarray(np.atleast_2d(y0), dtype)
+        dyn = dyn_from_settings(s, dtype)
+        fac = self._factor
+        if fac is None:
+            # structurally-correct dummy factor; its zero rho_vec never
+            # matches, so step 0 refactorizes in-jit
+            eyeD = jnp.broadcast_to(jnp.eye(self.b, dtype=dtype),
+                                    (self.T, self.b, self.b))
+            zeroE = jnp.zeros((self.T - 1, self.b, self.b), dtype)
+            f0 = (cr_factor(eyeD, zeroE) if self._kkt == "cr"
+                  else blocktri_factor(eyeD, zeroE))
+            fac = TFactor(fac=f0, rho_vec=jnp.zeros((self.m,), dtype),
+                          rho_bar=jnp.asarray(s.rho, dtype))
+        outs, (xf, yf), fac = _banded_rollout_jit(
+            self._data, self._scal, q0, l0, u0, x0, y0, dyn, fac,
+            step_fn=step_fn, n_steps=int(n_steps), keep_xs=bool(keep_xs),
+            kkt=self._kkt)
+        self._factor = fac
+        outs = dict(outs)
+        outs["x"] = xf
+        outs["y"] = yf
+        return outs

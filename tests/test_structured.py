@@ -244,3 +244,36 @@ def test_structured_batch_sharded_over_mesh():
     assert np.all(np.asarray(out["status"]) == C.SOLVED)
     np.testing.assert_allclose(np.asarray(out["x"]), np.asarray(ref["x"]),
                                rtol=1e-7, atol=1e-9)
+
+
+def test_structured_rollout_matches_host_loop():
+    """solve_rollout on the structured engine must reproduce the
+    solve() host loop (warm starts + factor carried identically)."""
+    import jax.numpy as jnp
+    P, q, A, l, u, b = _control(nx=4, nu=2, T=6, seed=0)
+    n = P.shape[0]
+    kw = dict(eps_abs=1e-6, eps_rel=1e-6, verbose=False)
+    key = jnp.asarray(0.002 * np.random.RandomState(1).randn(n))
+
+    def step(x, qlu, k):
+        qk, lk, uk = qlu
+        return qk + key, lk, uk
+
+    st = BlockTridiagSolver().setup(P=sp.csc_matrix(P), A=sp.csc_matrix(A),
+                                    block=b, **kw)
+    out = st.solve_rollout(q, l, u, step, n_steps=5, keep_xs=True)
+    assert np.all(np.asarray(out["status"]) == C.SOLVED)
+
+    st2 = BlockTridiagSolver().setup(P=sp.csc_matrix(P), A=sp.csc_matrix(A),
+                                     block=b, **kw)
+    qk = jnp.asarray(q[None, :])
+    xk = yk = None
+    for k in range(5):
+        o = st2.solve(np.asarray(qk), l, u,
+                      x0=None if xk is None else np.asarray(xk),
+                      y0=None if yk is None else np.asarray(yk))
+        assert np.all(np.asarray(out["iter"][k]) == np.asarray(o["iter"]))
+        xk, yk = o["x"], o["y"]
+        qk = qk + key
+    np.testing.assert_allclose(np.asarray(out["x"]), np.asarray(xk),
+                               rtol=1e-10, atol=1e-12)
