@@ -190,6 +190,27 @@ def main():
     log(f"warm compute-only: {t_warm_compute*1e3:.2f} ms/solve -> "
         f"{warm_compute_qps:.0f} QP/s")
 
+    # closed-loop rollout: S steps (solve -> on-device feedback) as ONE
+    # compiled program — the serving pattern; one dispatch per rollout
+    import jax.numpy as jnp
+    drift = jnp.asarray(0.02 * rng.randn(n), jnp.float32)
+
+    def _roll_step(x, qlu, k):
+        qk, lk, uk = qlu
+        return qk + drift, lk, uk
+
+    S_ROLL = 20
+    rout = solver.solve_rollout(qd, ld, ud, _roll_step, n_steps=S_ROLL)
+    np.asarray(rout["x"])  # compile
+    t0 = time.perf_counter()
+    rout = solver.solve_rollout(qd, ld, ud, _roll_step, n_steps=S_ROLL)
+    np.asarray(rout["x"])
+    t_roll = time.perf_counter() - t0
+    roll_solved = float(np.mean(np.asarray(rout["status"]) == 1))
+    rollout_qps = S_ROLL * B / t_roll
+    log(f"closed-loop rollout: {S_ROLL} steps x {B} lanes in {t_roll:.3f}s "
+        f"-> {rollout_qps:.0f} QP/s (solved fraction {roll_solved:.3f})")
+
     # mixed precision (Settings.mixed_precision): bf16 iteration chunks
     # until near convergence, then f32 — same statuses/eps, single-pass MXU
     # rate for the bulk of the iterations
@@ -265,6 +286,7 @@ def main():
         "numpy_io_qps": round(B / t_np_io, 1),
         "compute_only_qps": round(compute_qps, 1),
         "warm_compute_only_qps": round(warm_compute_qps, 1),
+        "rollout_qps": round(rollout_qps, 1),
         "mixed_precision_compute_only_qps": round(mp_compute_qps, 1),
         "compute_mlane_iters_s": round(dev_lane_iters_s / 1e6, 2),
         "mfu_f32_pct": round(100 * mfu, 3),

@@ -327,3 +327,17 @@ def test_shared_mixed_precision_infeasible_lane():
     st = np.asarray(out.status)
     assert st[0] == 1 and st[2] == 1 and st[3] == 1
     assert st[1] == -3  # Primal_infeasible, found after the phase switch
+
+
+def test_shared_check_termination_zero_runs_exactly_max_iter():
+    """check_termination=0 through the shared leg engine: the kernel never
+    classifies (reference semantics: run exactly max_iter), and the rho
+    estimate falls back to the XLA residual branch at leg boundaries."""
+    B, n, m = 8, 8, 12
+    P, q, A, l, u = make_batch(B, n, m, seed=3)
+    s = Settings(verbose=False, eps_abs=1e-6, eps_rel=1e-6,
+                 check_termination=0, max_iter=130, dtype=np.float64)
+    out = BatchedSolver(settings=s, kkt_mode="shared").solve(P, q, A, l, u)
+    assert np.all(np.asarray(out.iter) == 130)
+    from osqp_tpu import constants as _C
+    assert np.all(np.asarray(out.status) == _C.MAX_ITER_REACHED)
