@@ -9,8 +9,13 @@ linear cost of a small box-constrained QP by gradient descent until its
 minimizer matches a target point — the building block of learned-MPC /
 OptNet-style pipelines (a capability the reference stack does not expose).
 
-Run: PYTHONPATH=. python examples/diff_qp.py  (CPU or TPU)
+Run: python examples/diff_qp.py  (CPU or TPU)
 """
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
