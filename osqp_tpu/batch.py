@@ -58,6 +58,22 @@ def _batched_polish(data: QPData, dyn, scaling_iters, delta, refine,
 _polish_batch_jit = jax.jit(_batched_polish)
 
 
+def _nanfill(out: SolveOutput) -> SolveOutput:
+    """Reference solution convention (src/interface.jl:184-210): x/y/z are
+    NaN-filled when no solution is present (infeasible / non-convex /
+    time-limit before any result); the certificates carry the rays. Applied
+    at the API boundary only — internal consumers (rollout scan, chunked
+    time-limit driver, polish) keep the raw iterates."""
+    present = ((out.status == _C.SOLVED)
+               | (out.status == _C.SOLVED_INACCURATE)
+               | (out.status == _C.MAX_ITER_REACHED))[:, None]
+    nan = jnp.asarray(jnp.nan, out.x.dtype)
+    return out._replace(
+        x=jnp.where(present, out.x, nan),
+        y=jnp.where(present, out.y, nan),
+        z=jnp.where(present, out.z, nan))
+
+
 def _pick_group(B_local, n, m, itemsize=4):
     """Kernel group size: largest power of two ≤ 512 that divides the
     (per-device) batch and fits the shared-iter kernel's VMEM working set.
@@ -241,7 +257,7 @@ class BatchedSolver:
                              do_polish=bool(s.polish))
         if s.polish and self.kkt_mode == "shared":
             out = self._apply_polish(Pm, A, q, l, u, dyn, dtype, out)
-        return out
+        return _nanfill(out)
 
     # ------------------------------------------------------------------
     # Prepared-workspace mode (persistent factor across re-solves)
@@ -325,7 +341,7 @@ class BatchedSolver:
         p["factor"] = fac
         if s.polish:
             out = self._apply_polish(p["P"], p["A"], q, l, u, dyn, dtype, out)
-        return out
+        return _nanfill(out)
 
     def solve_rollout(self, q0, l0, u0, step_fn, n_steps: int,
                       x0=None, y0=None, keep_xs: bool = False):
@@ -552,7 +568,7 @@ class BatchedSolver:
         out_acc = out_acc._replace(iter=jnp.asarray(iters_acc, jnp.int32))
         if s.polish:
             out_acc = self._apply_polish(Pm, A, q, l, u, dyn, dtype, out_acc)
-        return out_acc
+        return _nanfill(out_acc)
 
 
 def solve_batch(Pm, q, A, l, u, settings: Optional[Settings] = None,

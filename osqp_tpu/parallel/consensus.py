@@ -106,8 +106,18 @@ class ShardedQP:
         y0 = jnp.zeros((m,), dtype) if y0 is None else jnp.asarray(y0, dtype)
         dyn = dyn_from_settings(s, dtype)
         data = QPData(P=Pm, q=q, A=A, l=l, u=u)
-        return self._jit(data, dyn, jnp.int32(s.scaling), x0, y0,
-                         self._linsys)
+        out = self._jit(data, dyn, jnp.int32(s.scaling), x0, y0,
+                        self._linsys)
+        # reference solution convention (interface.jl:184-210): NaN-fill
+        # x/y/z when no solution is present; certificates carry the rays
+        from .. import constants as _C2
+        present = ((out.status == _C2.SOLVED)
+                   | (out.status == _C2.SOLVED_INACCURATE)
+                   | (out.status == _C2.MAX_ITER_REACHED))
+        nan = jnp.asarray(jnp.nan, dtype)
+        return out._replace(x=jnp.where(present, out.x, nan),
+                            y=jnp.where(present, out.y, nan),
+                            z=jnp.where(present, out.z, nan))
 
 
 def solve_sharded(mesh: Mesh, Pm, q, A, l, u,

@@ -831,6 +831,15 @@ class BlockTridiagSolver:
         out, self._factor = _solve_banded_jit(
             self._data, qb, lb, ub, scal, dyn, xb, yb, zb,
             factor0=factor0, with_factor=True, kkt=self._kkt)
+        # reference solution convention (interface.jl:184-210): NaN-fill
+        # x/y/z when no solution is present
+        present = ((out["status"] == C.SOLVED)
+                   | (out["status"] == C.SOLVED_INACCURATE)
+                   | (out["status"] == C.MAX_ITER_REACHED))[:, None]
+        nan = jnp.asarray(jnp.nan, self._dtype)
+        out = dict(out)
+        for k2 in ("x", "y", "z"):
+            out[k2] = jnp.where(present, out[k2], nan)
         return out
 
     def solve_rollout(self, q0, l0, u0, step_fn, n_steps: int,

@@ -125,3 +125,37 @@ def test_infeasible_x_y_nan_filled():
     assert np.all(np.isfinite(results.prim_inf_cert))
     assert np.all(np.isnan(results.dual_inf_cert))
     assert results.info.obj_val == np.inf
+
+
+def test_batched_infeasible_lanes_nan_filled():
+    """Reference solution convention on the batched path
+    (src/interface.jl:184-210): lanes classified infeasible return
+    NaN-filled x/y/z at the API boundary, with the certificate fields
+    carrying the rays."""
+    from osqp_tpu.batch import BatchedSolver
+    from osqp_tpu.settings import Settings
+    from osqp_tpu import constants as C_
+
+    rng = np.random.RandomState(0)
+    B, n, m = 4, 6, 8
+    M = rng.randn(n, n) / np.sqrt(n)
+    P = M.T @ M + 0.3 * np.eye(n)
+    A = rng.randn(m, n)
+    A[1] = A[0]                       # duplicated row
+    q = rng.randn(B, n)
+    c = (A @ rng.randn(n, B)).T
+    l = c - 1.0
+    u = c + 1.0
+    l[0, 0], u[0, 0] = 1.0, 2.0       # lane 0: contradictory bounds on the
+    l[0, 1], u[0, 1] = -2.0, -1.0     # duplicated row -> primal infeasible
+    out = BatchedSolver(
+        settings=Settings(eps_abs=1e-6, eps_rel=1e-6, verbose=False,
+                          dtype=np.float64)).solve(P, q, A, l, u)
+    st = np.asarray(out.status)
+    assert st[0] in (C_.PRIMAL_INFEASIBLE, C_.PRIMAL_INFEASIBLE_INACCURATE)
+    assert np.all(np.isnan(np.asarray(out.x)[0]))
+    assert np.all(np.isnan(np.asarray(out.y)[0]))
+    assert np.isfinite(np.asarray(out.prim_cert)[0]).all()
+    for i in range(1, B):
+        assert st[i] == C_.SOLVED
+        assert np.isfinite(np.asarray(out.x)[i]).all()
