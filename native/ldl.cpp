@@ -106,6 +106,12 @@ std::vector<idx> amd_order(idx n, const idx* Ap, const idx* Ai) {
   std::vector<idx> stamp(n, -1), wdiff(n, 0);  // per-pivot element scratch
   std::vector<idx> vstamp(n, -1);              // per-pivot variable marks
   std::vector<idx> hash_stamp(n, -1), hash_head(n, -1), hash_next(n, -1);
+  std::vector<idx> vhash(n, 0);                // pass-2 bucket per vertex
+  // dedicated stamps for the pairwise indistinguishability comparison —
+  // these MUST NOT consume `gen`, or the hash buckets built in pass 2
+  // (stamped with gen) would be invalidated by the first comparison
+  std::vector<idx> cstamp_v(n, -1), cstamp_e(n, -1);
+  idx cgen = 0;
   std::vector<idx> Lp;
   std::vector<idx> perm(n);
   idx k = 0, mindeg = 0, gen = 0;
@@ -199,6 +205,7 @@ std::vector<idx> amd_order(idx n, const idx* Ap, const idx* Ai) {
       if (d < mindeg) mindeg = d;
       // hash bucket for indistinguishability detection
       idx h = (idx)(hsh % (size_t)n);
+      vhash[v] = h;
       if (hash_stamp[h] != gen) {
         hash_stamp[h] = gen;
         hash_head[h] = -1;
@@ -206,6 +213,7 @@ std::vector<idx> amd_order(idx n, const idx* Ap, const idx* Ai) {
       hash_next[v] = hash_head[h];
       hash_head[h] = v;
     }
+    const idx hash_gen = gen;  // bucket stamps belong to this generation
 
     // --- aggressive absorption: elements fully covered by L_p ---
     for (idx v : Lp) {
@@ -229,33 +237,31 @@ std::vector<idx> amd_order(idx n, const idx* Ap, const idx* Ai) {
     for (idx vi = 0; vi < (idx)Lp.size(); ++vi) {
       idx v = Lp[vi];
       if (nv[v] <= 0) continue;
-      idx h = -1;
-      {
-        size_t hsh = 0;
-        for (idx e : Aelems[v]) hsh += (size_t)e;
-        for (idx u : Avars[v]) hsh += (size_t)u;
-        h = (idx)(hsh % (size_t)n);
-      }
-      if (hash_stamp[h] != gen || hash_head[h] != v) continue;
+      // the pass-2 bucket was saved per vertex (recomputing it here would
+      // disagree with the chains whenever aggressive absorption pruned an
+      // element between pass 2 and now)
+      idx h = vhash[v];
+      if (hash_stamp[h] != hash_gen || hash_head[h] != v) continue;
       // v heads its bucket: compare against the rest of the chain
       for (idx u = hash_next[v]; u != -1; u = hash_next[u]) {
         if (nv[u] <= 0 || u == v) continue;
         if (Avars[u].size() != Avars[v].size()
             || Aelems[u].size() != Aelems[v].size())
           continue;
-        // mark v's lists, check u's lists hit only marks
-        ++gen;
-        for (idx x : Avars[v]) vstamp[x] = gen;
-        for (idx x : Aelems[v]) stamp[x] = gen;
+        // mark v's lists, check u's lists hit only marks (dedicated
+        // comparison stamps — see declaration)
+        ++cgen;
+        for (idx x : Avars[v]) cstamp_v[x] = cgen;
+        for (idx x : Aelems[v]) cstamp_e[x] = cgen;
         bool same = true;
         for (idx x : Avars[u])
-          if (vstamp[x] != gen) {
+          if (cstamp_v[x] != cgen) {
             same = false;
             break;
           }
         if (same)
           for (idx x : Aelems[u])
-            if (stamp[x] != gen) {
+            if (cstamp_e[x] != cgen) {
               same = false;
               break;
             }

@@ -301,6 +301,18 @@ static void assemble_kkt(Work& w) {
       kmap_tmp.clear();
     }
   }
+  if (best < 0) {
+    // every candidate declined or failed the symbolic stage — fall back to
+    // the identity ordering (always symbolically factorizable for a
+    // quasi-definite KKT with full diagonal)
+    std::vector<idx> ident(N);
+    for (idx i = 0; i < N; ++i) ident[i] = i;
+    build_permuted(w.K, ident, w.Kp, w.kmap);
+    ldl_symbolic(N, w.Kp.p.data(), w.Kp.i.data(), w.sym);
+    w.perm = std::move(ident);
+    w.ord_choice = 0;
+    return;
+  }
   w.perm = cand[best];
   w.ord_choice = (int)best;
 }

@@ -58,15 +58,23 @@ def _batched_polish(data: QPData, dyn, scaling_iters, delta, refine,
 _polish_batch_jit = jax.jit(_batched_polish)
 
 
+def _sanitize_starts(x0, y0):
+    """Per-lane cold start for non-finite warm starts: feeding a NaN-filled
+    result (an infeasible lane) back as x0/y0 — the natural MPC loop —
+    must not poison subsequent solves of that lane."""
+    finite = (jnp.isfinite(x0).all(axis=-1, keepdims=True)
+              & jnp.isfinite(y0).all(axis=-1, keepdims=True))
+    return jnp.where(finite, x0, 0.0), jnp.where(finite, y0, 0.0)
+
+
 def _nanfill(out: SolveOutput) -> SolveOutput:
     """Reference solution convention (src/interface.jl:184-210): x/y/z are
     NaN-filled when no solution is present (infeasible / non-convex /
     time-limit before any result); the certificates carry the rays. Applied
     at the API boundary only — internal consumers (rollout scan, chunked
     time-limit driver, polish) keep the raw iterates."""
-    present = ((out.status == _C.SOLVED)
-               | (out.status == _C.SOLVED_INACCURATE)
-               | (out.status == _C.MAX_ITER_REACHED))[:, None]
+    from .types import solution_present
+    present = solution_present(out.status)[:, None]
     nan = jnp.asarray(jnp.nan, out.x.dtype)
     return out._replace(
         x=jnp.where(present, out.x, nan),
@@ -117,6 +125,7 @@ def _prepared_solve_impl(Pb, Ab, scal, q, l, u, x0, y0, dyn,
     qb = scal.c * scal.D * q
     lb = scal.E * l
     ub = scal.E * u
+    x0, y0 = _sanitize_starts(x0, y0)
     xb = scal.Dinv * x0
     yb = scal.c * scal.Einv * y0
     zb = xb @ Ab.T
@@ -246,6 +255,7 @@ class BatchedSolver:
         m = l.shape[-1]
         x0 = jnp.zeros((B, n), dtype) if x0 is None else jnp.asarray(x0, dtype)
         y0 = jnp.zeros((B, m), dtype) if y0 is None else jnp.asarray(y0, dtype)
+        x0, y0 = _sanitize_starts(x0, y0)
         dyn = dyn_from_settings(s, dtype)
         if rho0 is not None:
             rho0 = np.median(np.asarray(rho0)) if np.ndim(rho0) else rho0

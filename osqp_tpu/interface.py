@@ -457,6 +457,13 @@ class Model:
             x = np.asarray(x, dtype=np.float64).ravel()
             if x.shape[0] != self.n:
                 raise ValueError(f"Wrong dimension for variable x ({self.n})")
+            if not np.isfinite(x).all():
+                # a NaN-filled result (infeasible/non-convex solve) fed back
+                # as a warm start would poison every subsequent solve; the
+                # reference never hits this because its warm start comes
+                # from the internal C workspace, not the NaN-filled
+                # results — treat non-finite starts as cold
+                x = np.zeros_like(x)
             self._xbar = scal.Dinv * jnp.asarray(x, dtype)
         else:
             self._xbar = jnp.zeros((self.n,), dtype)
@@ -464,6 +471,8 @@ class Model:
             y = np.asarray(y, dtype=np.float64).ravel()
             if y.shape[0] != self.m:
                 raise ValueError(f"Wrong dimension for variable y ({self.m})")
+            if not np.isfinite(y).all():
+                y = np.zeros_like(y)
             self._ybar = scal.c * scal.Einv * jnp.asarray(y, dtype)
         else:
             self._ybar = jnp.zeros((self.m,), dtype)

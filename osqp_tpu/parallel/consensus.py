@@ -110,10 +110,8 @@ class ShardedQP:
                         self._linsys)
         # reference solution convention (interface.jl:184-210): NaN-fill
         # x/y/z when no solution is present; certificates carry the rays
-        from .. import constants as _C2
-        present = ((out.status == _C2.SOLVED)
-                   | (out.status == _C2.SOLVED_INACCURATE)
-                   | (out.status == _C2.MAX_ITER_REACHED))
+        from ..types import solution_present
+        present = solution_present(out.status)
         nan = jnp.asarray(jnp.nan, dtype)
         return out._replace(x=jnp.where(present, out.x, nan),
                             y=jnp.where(present, out.y, nan),

@@ -592,30 +592,47 @@ def solve_batch_shared(P, A, qb, lb, ub, scal: SharedScaling, dyn: DynParams,
     dx = final.x - final.x_prev
     dy = final.y - final.y_prev
 
-    # the approximate (10x-loosened) re-check only matters for lanes that
-    # ran out of iterations — skip its three batched matmuls entirely on
-    # the hot all-solved path (the common warm re-solve case)
-    def _approx(_):
-        st, rs = shared_check(
+    # the max_iter re-checks only matter for lanes that ran out of
+    # iterations — skip their batched matmuls entirely on the hot
+    # all-solved path (the common warm re-solve case). Two passes, as the
+    # C core does after its loop: one ACCURATE check at the final iterate
+    # (the leg kernel's in-kernel checks land only on check_termination
+    # multiples, so a lane converging between the last multiple and
+    # max_iter is classified here), then the 10x-loosened approximate
+    # check for the inaccurate statuses.
+    def _final(_):
+        st_a, rs_a = shared_check(
+            P, A, qb, lb, ub, scal, dyn, final.x, final.y, final.z, dx, dy,
+            jnp.asarray(1.0, dtype), accurate=True)
+        st_x, rs_x = shared_check(
             P, A, qb, lb, ub, scal, dyn, final.x, final.y, final.z, dx, dy,
             jnp.asarray(C.INACCURATE_EPS_FACTOR, dtype), accurate=False)
-        return st, rs.pri_res, rs.dua_res
+        return (st_a, rs_a.pri_res, rs_a.dua_res,
+                st_x, rs_x.pri_res, rs_x.dua_res)
 
-    def _no_approx(_):
-        return (jnp.full_like(final.status, C.RUNNING),
-                final.pri_res, final.dua_res)
+    def _no_final(_):
+        run = jnp.full_like(final.status, C.RUNNING)
+        return (run, final.pri_res, final.dua_res,
+                run, final.pri_res, final.dua_res)
 
-    approx_status, approx_pri, approx_dua = lax.cond(
-        _gany(hit_max), _approx, _no_approx, None)
-    allow = (dyn.check_termination > 0) & (dyn.final_approx != 0)
+    (acc_status, acc_pri, acc_dua, approx_status, approx_pri,
+     approx_dua) = lax.cond(_gany(hit_max), _final, _no_final, None)
+    check_on = dyn.check_termination > 0
+    acc_hit = check_on & (acc_status != C.RUNNING)
+    allow = check_on & (dyn.final_approx != 0)
     status = jnp.where(
         hit_max,
-        jnp.where(allow & (approx_status != C.RUNNING),
-                  approx_status, C.MAX_ITER_REACHED),
+        jnp.where(acc_hit, acc_status,
+                  jnp.where(allow & (approx_status != C.RUNNING),
+                            approx_status, C.MAX_ITER_REACHED)),
         final.status).astype(jnp.int32)
     iters = jnp.where(hit_max, final.it, final.iters)
-    pri_res = jnp.where(hit_max, approx_pri, final.pri_res)
-    dua_res = jnp.where(hit_max, approx_dua, final.dua_res)
+    pri_res = jnp.where(hit_max,
+                        jnp.where(acc_hit, acc_pri, approx_pri),
+                        final.pri_res)
+    dua_res = jnp.where(hit_max,
+                        jnp.where(acc_hit, acc_dua, approx_dua),
+                        final.dua_res)
 
     x = scal.D * final.x
     y = scal.cinv * scal.E * final.y
@@ -716,25 +733,35 @@ def solve_batch_shared_fixed(P, A, qb, lb, ub, scal: SharedScaling,
             return jnp.any(v)
         return lax.psum(jnp.any(v).astype(jnp.int32), axis_name) > 0
 
-    def _approx(_):
-        st, rs = shared_check(
+    def _final(_):
+        st_a, rs_a = shared_check(
+            P, A, qb, lb, ub, scal, dyn, x, y, z, dx, dy,
+            jnp.asarray(1.0, dtype), accurate=True)
+        st_x, rs_x = shared_check(
             P, A, qb, lb, ub, scal, dyn, x, y, z, dx, dy,
             jnp.asarray(C.INACCURATE_EPS_FACTOR, dtype), accurate=False)
-        return st, rs.pri_res, rs.dua_res
+        return (st_a, rs_a.pri_res, rs_a.dua_res,
+                st_x, rs_x.pri_res, rs_x.dua_res)
 
-    def _no_approx(_):
-        return jnp.full_like(status_acc, C.RUNNING), pri_k, dua_k
+    def _no_final(_):
+        run = jnp.full_like(status_acc, C.RUNNING)
+        return run, pri_k, dua_k, run, pri_k, dua_k
 
-    approx_status, approx_pri, approx_dua = lax.cond(
-        _gany(hit_max), _approx, _no_approx, None)
-    allow = (dyn.check_termination > 0) & (dyn.final_approx != 0)
+    (acc_status, acc_pri, acc_dua, approx_status, approx_pri,
+     approx_dua) = lax.cond(_gany(hit_max), _final, _no_final, None)
+    check_on = dyn.check_termination > 0
+    acc_hit = check_on & (acc_status != C.RUNNING)
+    allow = check_on & (dyn.final_approx != 0)
     status = jnp.where(
         hit_max,
-        jnp.where(allow & (approx_status != C.RUNNING),
-                  approx_status, C.MAX_ITER_REACHED),
+        jnp.where(acc_hit, acc_status,
+                  jnp.where(allow & (approx_status != C.RUNNING),
+                            approx_status, C.MAX_ITER_REACHED)),
         status_acc).astype(jnp.int32)
-    pri_res = jnp.where(hit_max, approx_pri, pri_k)
-    dua_res = jnp.where(hit_max, approx_dua, dua_k)
+    pri_res = jnp.where(hit_max,
+                        jnp.where(acc_hit, acc_pri, approx_pri), pri_k)
+    dua_res = jnp.where(hit_max,
+                        jnp.where(acc_hit, acc_dua, approx_dua), dua_k)
 
     xu = scal.D * x
     yu = scal.cinv * scal.E * y

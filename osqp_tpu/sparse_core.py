@@ -278,9 +278,10 @@ class SparseModel:
                     jax.block_until_ready(out.x)
                     el = max(time.perf_counter() - t_ch, 1e-3)
                     rate = this / el
-                    floor = max(int(s.check_termination)
-                                if s.check_termination > 0 else 25, 25)
-                    chunk = int(max(min(rate * budget_s, 1e6), floor))
+                    # once a real rate is known the floor is 1 iteration —
+                    # an unconditional >=25 floor could itself exceed the
+                    # per-dispatch watchdog on very slow problems
+                    chunk = int(max(min(rate * budget_s, 1e6), 1))
                     total += int(out.iter)
                     if int(out.status) not in (C.RUNNING,
                                                C.MAX_ITER_REACHED):

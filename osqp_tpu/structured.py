@@ -809,14 +809,19 @@ class BlockTridiagSolver:
         lb = jnp.asarray(l, dtype) * scal.E
         ub = jnp.asarray(u, dtype) * scal.E
         if x0 is None:
-            xb = jnp.zeros((B, self.T, self.b), dtype)
-        else:
-            xb = (jnp.asarray(np.atleast_2d(x0), dtype)
-                  * scal.Dinv).reshape(B, self.T, self.b)
+            x0 = np.zeros((B, self.n))
         if y0 is None:
-            yb = jnp.zeros((B, self.m), dtype)
-        else:
-            yb = jnp.asarray(np.atleast_2d(y0), dtype) * (scal.c * scal.Einv)
+            y0 = np.zeros((B, self.m))
+        x0 = np.atleast_2d(np.asarray(x0, float))
+        y0 = np.atleast_2d(np.asarray(y0, float))
+        # non-finite warm starts (NaN-filled infeasible results fed back)
+        # cold-start those lanes instead of poisoning them
+        finite = (np.isfinite(x0).all(axis=1, keepdims=True)
+                  & np.isfinite(y0).all(axis=1, keepdims=True))
+        x0 = np.where(finite, x0, 0.0)
+        y0 = np.where(finite, y0, 0.0)
+        xb = (jnp.asarray(x0, dtype) * scal.Dinv).reshape(B, self.T, self.b)
+        yb = jnp.asarray(y0, dtype) * (scal.c * scal.Einv)
         zb = _ax(self._data, xb)
         if self._mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as Pspec
@@ -833,9 +838,8 @@ class BlockTridiagSolver:
             factor0=factor0, with_factor=True, kkt=self._kkt)
         # reference solution convention (interface.jl:184-210): NaN-fill
         # x/y/z when no solution is present
-        present = ((out["status"] == C.SOLVED)
-                   | (out["status"] == C.SOLVED_INACCURATE)
-                   | (out["status"] == C.MAX_ITER_REACHED))[:, None]
+        from .types import solution_present
+        present = solution_present(out["status"])[:, None]
         nan = jnp.asarray(jnp.nan, self._dtype)
         out = dict(out)
         for k2 in ("x", "y", "z"):
@@ -864,6 +868,16 @@ class BlockTridiagSolver:
         y0 = jnp.zeros((B, self.m), dtype) if y0 is None \
             else jnp.asarray(np.atleast_2d(y0), dtype)
         dyn = dyn_from_settings(s, dtype)
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as Pspec
+            axis = self._mesh.axis_names[0]
+            shard = NamedSharding(self._mesh, Pspec(axis))
+            ndev = self._mesh.size
+            if B % ndev != 0:
+                raise ValueError(f"batch {B} not divisible by the "
+                                 f"{ndev}-device mesh")
+            q0, l0, u0 = (jax.device_put(v, shard) for v in (q0, l0, u0))
+            x0, y0 = (jax.device_put(v, shard) for v in (x0, y0))
         fac = self._factor
         if fac is None:
             # structurally-correct dummy factor; its zero rho_vec never

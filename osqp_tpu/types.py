@@ -140,3 +140,13 @@ class Results:
     info: Info
     prim_inf_cert: Optional[np.ndarray] = None
     dual_inf_cert: Optional[np.ndarray] = None
+
+
+def solution_present(status):
+    """SOLUTION_PRESENT mask by numeric status code (the reference's
+    constants.jl:23 set: Solved, Solved_inaccurate, Max_iter_reached) — the
+    single source of truth for the NaN-fill solution convention
+    (interface.jl:184-210) shared by every engine's API boundary."""
+    from . import constants as C
+    return ((status == C.SOLVED) | (status == C.SOLVED_INACCURATE)
+            | (status == C.MAX_ITER_REACHED))

@@ -341,3 +341,27 @@ def test_shared_check_termination_zero_runs_exactly_max_iter():
     assert np.all(np.asarray(out.iter) == 130)
     from osqp_tpu import constants as _C
     assert np.all(np.asarray(out.status) == _C.MAX_ITER_REACHED)
+
+
+def test_shared_accurate_classification_at_max_iter():
+    """A lane whose residuals first pass between the last check_termination
+    multiple and max_iter must be classified Solved by the final ACCURATE
+    check at max_iter (the C core's post-loop check), not downgraded to
+    Solved_inaccurate/Max_iter_reached."""
+    from osqp_tpu import constants as _C
+    B, n, m = 4, 8, 12
+    P, q, A, l, u = make_batch(B, n, m, seed=21)
+    probe = Settings(verbose=False, eps_abs=1e-6, eps_rel=1e-6,
+                     check_termination=1, dtype=np.float64)
+    out = BatchedSolver(settings=probe, kkt_mode="shared").solve(P, q, A, l, u)
+    k = int(np.asarray(out.iter).max())     # exact slowest convergence iter
+    cap = k + 2
+    if cap % 30 == 0:
+        cap += 1                            # keep max_iter off the cadence
+    s = Settings(verbose=False, eps_abs=1e-6, eps_rel=1e-6,
+                 check_termination=30, max_iter=cap, dtype=np.float64)
+    out2 = BatchedSolver(settings=s, kkt_mode="shared").solve(P, q, A, l, u)
+    st = np.asarray(out2.status)
+    # every lane converged by cap but the last in-kernel check was at
+    # 30*floor(cap/30) < k for at least the slowest lane
+    assert np.all((st == _C.SOLVED)), st

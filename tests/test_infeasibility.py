@@ -159,3 +159,52 @@ def test_batched_infeasible_lanes_nan_filled():
     for i in range(1, B):
         assert st[i] == C_.SOLVED
         assert np.isfinite(np.asarray(out.x)[i]).all()
+
+
+def test_warm_start_from_infeasible_result_recovers():
+    """Feeding a NaN-filled (infeasible) result back as a warm start — the
+    natural receding-horizon loop — must cold-start those lanes instead of
+    poisoning every subsequent solve (single-problem and batched paths)."""
+    from osqp_tpu.batch import BatchedSolver
+    from osqp_tpu.settings import Settings
+    from osqp_tpu import constants as C_
+
+    rng = np.random.RandomState(3)
+    n, m = 5, 6
+    M = rng.randn(n, n)
+    P = M @ M.T + 0.5 * np.eye(n)
+    A = rng.randn(m, n)
+    A[1] = A[0]
+    l_bad = -np.ones(m)
+    u_bad = np.ones(m)
+    l_bad[0], u_bad[0] = 1.0, 2.0
+    l_bad[1], u_bad[1] = -2.0, -1.0       # contradictory duplicated row
+    c = A @ rng.randn(n)
+    l_ok, u_ok = c - 1.0, c + 1.0
+    q = rng.randn(n)
+    kw = dict(eps_abs=1e-6, eps_rel=1e-6, verbose=False)
+
+    # single-problem path
+    model = osqp.Model()
+    model.setup(P=P, q=q, A=A, l=l_bad, u=u_bad, **kw)
+    r = model.solve()
+    assert r.info.status.startswith("Primal_infeasible")
+    assert np.all(np.isnan(r.x))
+    model.update(l=l_ok, u=u_ok)
+    model.warm_start(x=r.x, y=r.y)        # NaN warm start -> cold
+    r2 = model.solve()
+    assert r2.info.status == "Solved"
+
+    # batched prepared path
+    B = 3
+    bs = BatchedSolver(settings=Settings(dtype=np.float64, **kw),
+                       kkt_mode="shared").prepare(P, A)
+    lb = np.tile(l_ok, (B, 1)); ub = np.tile(u_ok, (B, 1))
+    lb[0], ub[0] = l_bad, u_bad
+    out = bs.solve_prepared(np.tile(q, (B, 1)), lb, ub)
+    assert np.all(np.isnan(np.asarray(out.x)[0]))
+    lb[0], ub[0] = l_ok, u_ok             # now feasible again
+    out2 = bs.solve_prepared(np.tile(q, (B, 1)), lb, ub,
+                             x0=np.asarray(out.x), y0=np.asarray(out.y))
+    assert np.all(np.asarray(out2.status) == C_.SOLVED)
+    assert np.isfinite(np.asarray(out2.x)).all()
