@@ -82,7 +82,7 @@ def _nanfill(out: SolveOutput) -> SolveOutput:
         z=jnp.where(present, out.z, nan))
 
 
-def _pick_group(B_local, n, m, itemsize=4):
+def _pick_group(B_local, n, m, itemsize=4, interpret=False):
     """Kernel group size: largest power of two ≤ 512 that divides the
     (per-device) batch and fits the shared-iter kernel's VMEM working set.
 
@@ -103,7 +103,18 @@ def _pick_group(B_local, n, m, itemsize=4):
         g //= 2
     while g > 1 and B_local % g != 0:
         g //= 2
-    return max(g, 1)
+    if g >= 8 or interpret:
+        return max(g, 1)
+    # Mosaic requires the sublane block dim divisible by 8 OR equal to the
+    # full array dim — for batches with fewer than three factors of two,
+    # one whole-array group is the only valid tiling
+    if B_local <= cap:
+        return B_local
+    raise ValueError(
+        f"batch size {B_local} has no valid TPU kernel tiling at this "
+        f"problem size (needs a power-of-two group >= 8, or the whole "
+        f"batch within the ~{cap}-lane VMEM budget) — pad the batch to a "
+        f"multiple of 8")
 
 
 def _prepare_impl(Pm, A, q_absmax, scaling_iters):
@@ -341,8 +352,8 @@ class BatchedSolver:
         if rho0 is not None:
             rho0 = np.median(np.asarray(rho0)) if np.ndim(rho0) else rho0
             factor = factor._replace(rho_bar=jnp.asarray(float(rho0), dtype))
-        group = _pick_group(B, n, m, jnp.dtype(dtype).itemsize)
         interpret = jax.default_backend() not in ("tpu", "axon")
+        group = _pick_group(B, n, m, jnp.dtype(dtype).itemsize, interpret)
         out, fac = _prepared_solve_jit(
             p["Pb"], p["Ab"], p["scal"], q, l, u, x0, y0, dyn, factor,
             group=group, interpret=interpret,
@@ -390,8 +401,8 @@ class BatchedSolver:
         y0 = jnp.zeros((B, m), dtype) if y0 is None \
             else jnp.asarray(y0, dtype)
         dyn = dyn_from_settings(s, dtype)
-        group = _pick_group(B, n, m, jnp.dtype(dtype).itemsize)
         interpret = jax.default_backend() not in ("tpu", "axon")
+        group = _pick_group(B, n, m, jnp.dtype(dtype).itemsize, interpret)
         outs, (xf, yf), fac = _rollout_jit(
             p["Pb"], p["Ab"], p["scal"], q0, l0, u0, x0, y0, dyn,
             p["factor"], step_fn=step_fn, n_steps=int(n_steps),
@@ -427,7 +438,7 @@ class BatchedSolver:
                     raise ValueError(
                         f"batch {B} must be divisible by mesh size {ndev}")
                 group = _pick_group(B // ndev, n, m,
-                                    jnp.dtype(dtype).itemsize)
+                                    jnp.dtype(dtype).itemsize, interpret)
                 from jax.sharding import PartitionSpec as PS
                 from jax import shard_map
 
@@ -454,7 +465,8 @@ class BatchedSolver:
                     check_vma=False)
                 out = jax.jit(fn)(Pm, A, q, l, u, x0, y0)
             else:
-                group = _pick_group(B, n, m, jnp.dtype(dtype).itemsize)
+                group = _pick_group(B, n, m, jnp.dtype(dtype).itemsize,
+                                    interpret)
                 out = self._shared_jit(Pm, A, q, l, u, dyn,
                                        jnp.int32(s.scaling), x0, y0,
                                        group, interpret, bool(s.adaptive_rho),

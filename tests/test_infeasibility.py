@@ -195,7 +195,12 @@ def test_warm_start_from_infeasible_result_recovers():
     r2 = model.solve()
     assert r2.info.status == "Solved"
 
-    # batched prepared path
+    # batched prepared path (kernel-backed — cannot lower under the global
+    # x64 flag on the TPU runtime, like the other kernel differential
+    # tests; the single-problem half above still runs on hardware)
+    import jax
+    if jax.default_backend() in ("tpu", "axon"):
+        return
     B = 3
     bs = BatchedSolver(settings=Settings(dtype=np.float64, **kw),
                        kkt_mode="shared").prepare(P, A)
