@@ -60,6 +60,34 @@ def main():
               f"iters mean {it.mean():.0f}, |u| mean "
               f"{np.abs(u_apply).mean():.3f}")
 
+    # --- the same loop as ONE compiled program (solve_rollout): when the
+    # state-feedback law is jax-traceable, the entire closed loop runs on
+    # device — no host round-trip between control steps ---
+    import jax.numpy as jnp
+
+    # stable closed-loop plant for the demo (spectral radius < 1)
+    Adj = jnp.asarray(0.9 * (np.eye(nx)
+                             + 0.1 * np.random.RandomState(0).randn(nx, nx)
+                             / np.sqrt(nx)))
+
+    def feedback(x_opt, qlu, k):
+        qk, lk, uk = qlu
+        # next initial state = first predicted state block of each plan
+        x_next = x_opt[:, :nx]
+        rhs = -(x_next @ Adj.T)
+        lk = lk.at[:, :nx].set(rhs)
+        uk = uk.at[:, :nx].set(rhs)
+        return qk, lk, uk
+
+    ws = BatchedSolver(
+        settings=Settings(eps_abs=1e-4, eps_rel=1e-4, verbose=False),
+        kkt_mode="shared").prepare(P, A, q=q)
+    roll = ws.solve_rollout(q, l, u, feedback, n_steps=10)
+    st = np.asarray(roll["status"])
+    print(f"on-device rollout: 10 steps x {B} plants, "
+          f"solved {np.mean(st == 1):.0%}, "
+          f"iters/step {np.asarray(roll['iter']).mean(axis=1).round(0)}")
+
 
 if __name__ == "__main__":
     main()
