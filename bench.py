@@ -237,9 +237,11 @@ def main():
     # single-core CPU baseline on a subsample: the faster of the NumPy
     # reference engine and the native C++ sparse-LDL engine (the in-repo
     # OSQP-C-class implementation)
-    K = 8
+    K = 16
     np_time = float("inf")
-    for _ in range(2):  # best-of-2: conservative vs host noise
+    for _ in range(3):  # best-of-3 over 16 QPs: steadier denominator (host
+        # noise on this 8-QP/2-rep sampling drove a ~3x spread in the
+        # reported vs_baseline across otherwise-identical runs)
         sols = []
         t0 = time.perf_counter()
         for i in range(K):
