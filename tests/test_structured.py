@@ -277,3 +277,164 @@ def test_structured_rollout_matches_host_loop():
         qk = qk + key
     np.testing.assert_allclose(np.asarray(out["x"]), np.asarray(xk),
                                rtol=1e-10, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Round-3 status-contract parity: infeasibility certificates, time_limit,
+# polish, per-lane classification semantics
+# (reference: src/interface.jl:198-205, constants.jl:17-18,
+#  test/primal_infeasibility.jl, test/dual_infeasibility.jl,
+#  test/polishing.jl:15-93)
+# ---------------------------------------------------------------------------
+
+def test_structured_primal_infeasible_certificate():
+    """Contradictory duplicated row (primal_infeasibility.jl pattern) on a
+    block=2 problem must return Primal_infeasible with a valid Farkas
+    certificate, within a few check intervals — not Max_iter_reached."""
+    P = sp.eye(4).tocsc()
+    A = sp.csc_matrix(np.array([
+        [1., 1., 0., 0.],
+        [1., 1., 0., 0.],
+        [0., 0., 1., 0.],
+        [0., 0., 0., 1.],
+    ]))
+    l = np.array([-np.inf, 1.0, -1., -1.])
+    u = np.array([-1.0, np.inf, 1., 1.])
+    slv = BlockTridiagSolver().setup(P=P, A=A, block=2,
+                                     eps_abs=1e-6, eps_rel=1e-6)
+    out = slv.solve(np.zeros(4), l, u)
+    assert int(np.asarray(out["status"])[0]) == C.PRIMAL_INFEASIBLE
+    assert int(np.asarray(out["iter"])[0]) <= 100
+    # Farkas validity: ||A' dy|| ~ 0 and u'(dy)+ + l'(dy)- < 0 (finite part)
+    dy = np.asarray(out["prim_cert"])[0]
+    assert np.all(np.isfinite(dy))
+    assert np.abs(np.asarray(A.T @ dy)).max() < 1e-6
+    fin_u, fin_l = np.isfinite(u), np.isfinite(l)
+    lhs = (u[fin_u] @ np.maximum(dy, 0)[fin_u]
+           + l[fin_l] @ np.minimum(dy, 0)[fin_l])
+    assert lhs < -1e-6
+    # NaN-fill convention (interface.jl:184-210)
+    assert np.isnan(np.asarray(out["x"])).all()
+    assert np.asarray(out["obj_val"])[0] == np.inf
+
+
+def test_structured_dual_infeasible_certificate():
+    """Unbounded banded QP -> Dual_infeasible with recession-direction
+    certificate (dual_infeasibility.jl semantics)."""
+    P = sp.diags([4.0, 0.0, 1.0, 1.0]).tocsc()
+    q = np.array([0.0, 2.0, 0.0, 0.0])
+    A = sp.csc_matrix(np.array([
+        [1., 1., 0., 0.],
+        [-1., 1., 0., 0.],
+        [0., 0., 1., 1.],
+        [0., 0., 1., -1.],
+    ]))
+    u = np.array([2., 3., 1., 1.])
+    l = -np.inf * np.ones(4)
+    slv = BlockTridiagSolver().setup(
+        P=P, A=A, block=2, eps_abs=1e-5, eps_rel=1e-5,
+        eps_prim_inf=1e-15, check_termination=1)
+    out = slv.solve(q, l, u)
+    assert int(np.asarray(out["status"])[0]) == C.DUAL_INFEASIBLE
+    dx = np.asarray(out["dual_cert"])[0]
+    assert np.all(np.isfinite(dx))
+    assert q @ dx < -1e-6                      # descent direction
+    Pd = np.asarray(P.todense())
+    assert np.abs(Pd @ dx).max() < 1e-6        # null direction of P
+    assert np.all(np.asarray(A @ dx) <= 1e-6)  # recession: u finite rows
+    assert np.asarray(out["obj_val"])[0] == -np.inf
+
+
+def test_structured_mixed_lane_statuses():
+    """One infeasible lane and one solvable lane in the same batch: the
+    solvable lane's result must be unaffected by the infeasible one."""
+    P = sp.eye(4).tocsc()
+    A = sp.csc_matrix(np.array([
+        [1., 1., 0., 0.],
+        [1., 1., 0., 0.],
+        [0., 0., 1., 0.],
+        [0., 0., 0., 1.],
+    ]))
+    q = np.zeros((2, 4))
+    q[1] = np.array([1., -2., 0.5, 0.])
+    l = np.array([[-np.inf, 1.0, -1., -1.],     # contradictory with u[0]
+                  [-3.0, -3.0, -1., -1.]])
+    u = np.array([[-1.0, np.inf, 1., 1.],
+                  [3.0, 3.0, 1., 1.]])
+    slv = BlockTridiagSolver().setup(P=P, A=A, block=2,
+                                     eps_abs=1e-8, eps_rel=1e-8)
+    out = slv.solve(q, l, u)
+    st = np.asarray(out["status"])
+    assert st[0] == C.PRIMAL_INFEASIBLE
+    assert st[1] == C.SOLVED
+    # lane 1 vs the dense reference engine, solved alone
+    model = osqp.Model()
+    model.setup(P=np.asarray(P.todense()), q=q[1],
+                A=np.asarray(A.todense()), l=l[1], u=u[1],
+                eps_abs=1e-8, eps_rel=1e-8, verbose=False)
+    ref = model.solve()
+    np.testing.assert_allclose(np.asarray(out["x"])[1], ref.x,
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_structured_time_limit():
+    """Chunked host driver maps wall-clock expiry to Time_limit_reached
+    (constants.jl:18) with unreachable tolerances."""
+    rng = np.random.default_rng(0)
+    n, b = 40, 4
+    P = sp.block_diag([np.eye(b) * 1e-4 for _ in range(n // b)]).tocsc()
+    A = sp.eye(n).tocsc()
+    slv = BlockTridiagSolver().setup(
+        P=P, A=A, block=b, max_iter=2_000_000, eps_abs=1e-30, eps_rel=0.0,
+        check_termination=25, time_limit=0.3)
+    out = slv.solve(rng.normal(size=n), -np.ones(n), np.ones(n))
+    assert int(np.asarray(out["status"])[0]) == C.TIME_LIMIT_REACHED
+
+
+def test_structured_polish():
+    """Banded active-set polish: status_polish=1 on Solved lanes and both
+    residuals strictly improved (polishing.jl:15-93 acceptance rule)."""
+    P, q, A, l, u, b = _control(nx=4, nu=2, T=6, seed=2)
+    kw = dict(eps_abs=1e-5, eps_rel=1e-5, verbose=False)
+    base = BlockTridiagSolver().setup(P=sp.csc_matrix(P), A=sp.csc_matrix(A),
+                                      block=b, **kw)
+    out0 = base.solve(q, l, u)
+    pol = BlockTridiagSolver().setup(P=sp.csc_matrix(P), A=sp.csc_matrix(A),
+                                     block=b, polish=True, **kw)
+    out1 = pol.solve(q, l, u)
+    assert int(np.asarray(out1["status"])[0]) == C.SOLVED
+    assert int(np.asarray(out1["status_polish"])[0]) == 1
+    assert (np.asarray(out1["pri_res"])[0] <= np.asarray(out0["pri_res"])[0])
+    assert (np.asarray(out1["dua_res"])[0] < np.asarray(out0["dua_res"])[0])
+    # polished point agrees with the dense engine's polished solution
+    model = osqp.Model()
+    model.setup(P=np.asarray(sp.csc_matrix(P).todense()), q=q,
+                A=np.asarray(sp.csc_matrix(A).todense()), l=l, u=u,
+                polish=True, **kw)
+    ref = model.solve()
+    np.testing.assert_allclose(np.asarray(out1["x"])[0], ref.x,
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_structured_mixed_lane_classification_warns():
+    """Rows whose equality/loose classification differs across lanes get
+    plain-inequality rho (documented shared-rho semantics) and a
+    UserWarning; solutions remain correct per lane."""
+    P = sp.eye(4).tocsc()
+    A = sp.eye(4).tocsc()
+    q = np.tile(np.array([1., -1., 0.5, -0.5]), (2, 1))
+    # row 0: equality in lane 0, inequality in lane 1
+    l = np.array([[0.5, -1., -1., -1.], [-1., -1., -1., -1.]])
+    u = np.array([[0.5, 1., 1., 1.], [1., 1., 1., 1.]])
+    slv = BlockTridiagSolver().setup(P=P, A=A, block=2,
+                                     eps_abs=1e-8, eps_rel=1e-8)
+    with pytest.warns(UserWarning, match="disagree"):
+        out = slv.solve(q, l, u)
+    assert np.all(np.asarray(out["status"]) == C.SOLVED)
+    for lane in range(2):
+        model = osqp.Model()
+        model.setup(P=np.eye(4), q=q[lane], A=np.eye(4), l=l[lane],
+                    u=u[lane], eps_abs=1e-8, eps_rel=1e-8, verbose=False)
+        ref = model.solve()
+        np.testing.assert_allclose(np.asarray(out["x"])[lane], ref.x,
+                                   rtol=1e-5, atol=1e-6)
