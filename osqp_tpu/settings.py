@@ -64,8 +64,14 @@ class Settings:
     time_limit: float = 0.0  # seconds; 0 = no limit
     # -- TPU-native extensions ---------------------------------------------
     dtype: Any = None  # None -> float64 if jax x64 enabled else float32
-    cg_max_iter: int = 200
-    cg_tol: float = 1e-9
+    cg_max_iter: int = 0    # 0 = auto: n + 30 (a convergent Krylov budget;
+    #                         the fixed 200 cap stalled the outer ADMM on
+    #                         ill-conditioned families — round-3 CG fix)
+    cg_tol: float = 0.0     # 0 = auto: 1e-12 (f64) / 1e-6 (f32). Measured:
+    #                         at 1e-9 the per-step KKT error is not summable
+    #                         on hard families and the outer ADMM stalls
+    #                         (huber L 22550 iters); at 1e-12 it matches the
+    #                         direct path exactly (175 iters).
     cg_precond: bool = True
     #: Shared-structure batched engine only (adaptive-rho epoch driver):
     #: run early iteration chunks with bf16 matmuls (single-pass MXU rate,

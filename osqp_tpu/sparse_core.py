@@ -17,7 +17,8 @@ import numpy as np
 from jax import lax
 
 from . import constants as C
-from .core import dyn_from_settings, init_factor, solve_scaled
+from .core import (dyn_from_settings, init_factor, resolve_cg_cap,
+                   solve_scaled)
 from .scaling import _limit_scaling
 from .settings import Settings
 from .padded_sparse import (PaddedOp, padded_col_max_abs, padded_op_from_coo,
@@ -240,7 +241,7 @@ class SparseModel:
         import time
         t0 = time.perf_counter()
         s = self.settings
-        dyn = dyn_from_settings(s, self._dtype)
+        dyn = resolve_cg_cap(dyn_from_settings(s, self._dtype), s, self.n)
 
         def _run(dyn_c, x0, y0, polish):
             return _solve_sparse_jit(

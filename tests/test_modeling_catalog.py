@@ -1,0 +1,444 @@
+"""Enumerated modeling-conformance catalog (round-2 verdict item #7).
+
+Ports the long tail of the reference's ``MOI.Test.runtests`` coverage
+(/root/reference/test/MOI_wrapper.jl:59-93 and the documented exclusions
+list) as explicit cases: duplicate-coefficient merging, empty/zero rows,
+attribute getters/setters, RawStatusString, objective constant x MAX sense
+x certificate interplay, set/function/coefficient/constant modification,
+vector sets, starts, and dual sign conventions. Each case is small and
+self-contained; shapes are shared so the jit cache amortizes compiles.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from osqp_tpu.modeling import Constraint, Problem
+
+KW = dict(eps_abs=1e-8, eps_rel=1e-8, verbose=False)
+
+
+def _1var(sense="min"):
+    """min/max x^2 - 2x template (unconstrained optimum x=1)."""
+    pr = Problem(**KW)
+    x = pr.add_variable()
+    return pr, x
+
+
+# ---------------------------------------------------------------------------
+# objective processing: doubling convention, merging, sense, constant
+# ---------------------------------------------------------------------------
+
+def test_quadratic_doubling_convention():
+    # set_objective(quadratic=P) means 0.5 x'Px: P=[[2]] -> x^2
+    pr, x = _1var()
+    pr.set_objective(quadratic={(0, 0): 2.0}, affine={0: -2.0})
+    pr.optimize()
+    assert abs(pr.value(x) - 1.0) < 1e-6
+    assert abs(pr.objective_value() - (-1.0)) < 1e-6
+
+
+def test_asymmetric_quadratic_matrix_symmetrized():
+    # full-matrix input symmetrizes off-diagonals: Q=[[2,1],[3,2]] acts as
+    # P=[[2,2],[2,2]] (duplicate/asymmetric terms merged, MOI dedup rule)
+    pr = Problem(**KW)
+    pr.add_variables(2)
+    pr.set_objective(quadratic=[[2.0, 1.0], [3.0, 2.0]],
+                     affine=[-2.0, -2.0])
+    pr.add_constraint({0: 1.0}, lb=0.25, ub=0.25)
+    pr.optimize()
+    # min x0^2+x1^2+2 x0 x1 -2x0 -2x1 , x0=0.25 -> dL/dx1: 2x1+2x0-2=0
+    assert abs(pr.value(1) - 0.75) < 1e-5
+
+
+def test_quadratic_coefficient_merge_lower_triangle():
+    # (i>j) routes to the canonical (j,i) slot — last write wins, no dupes
+    pr = Problem(**KW)
+    pr.add_variables(2)
+    pr.set_quadratic_objective_coefficient(1, 0, 3.0)
+    pr.set_quadratic_objective_coefficient(0, 1, 1.0)
+    assert pr._quad == {(0, 1): 1.0}
+
+
+def test_max_sense_negation():
+    # max -x^2 + 4x: MAX negates (P, q) internally (MOI_wrapper.jl:231-313)
+    pr, x = _1var()
+    pr.set_objective(quadratic={(0, 0): -2.0}, affine={0: 4.0}, sense="max")
+    pr.optimize()
+    assert abs(pr.value(x) - 2.0) < 1e-6
+    assert abs(pr.objective_value() - 4.0) < 1e-6
+
+
+def test_max_sense_non_convex_after_negation():
+    # max x^2 negates to min -x^2: non-convex -> setup error (the C core's
+    # setup failure contract, test/non_convex.jl:13-21)
+    pr, x = _1var()
+    pr.set_objective(quadratic={(0, 0): 2.0}, sense="max")
+    with pytest.raises(ValueError, match="non-convex"):
+        pr.optimize()
+
+
+def test_objective_constant_plumbs_through():
+    pr, x = _1var()
+    pr.set_objective(quadratic={(0, 0): 2.0}, affine={0: -2.0}, constant=5.0)
+    pr.optimize()
+    assert abs(pr.objective_value() - 4.0) < 1e-6  # -1 + 5
+
+
+def test_max_sense_with_constant():
+    # max -(x-1)^2 + 3 = max -x^2+2x-1+3 : optimum x=1, value 3
+    pr, x = _1var()
+    pr.set_objective(quadratic={(0, 0): -2.0}, affine={0: 2.0},
+                     constant=-1.0 + 3.0, sense="max")
+    pr.optimize()
+    assert abs(pr.value(x) - 1.0) < 1e-6
+    assert abs(pr.objective_value() - 3.0) < 1e-6
+
+
+def test_objective_replacement_via_modcache_matches_fresh():
+    pr, x = _1var()
+    pr.set_objective(quadratic={(0, 0): 2.0}, affine={0: -2.0})
+    pr.optimize()
+    pr.set_objective(quadratic={(0, 0): 2.0}, affine={0: -6.0})
+    pr.optimize()  # same P pattern -> mod-cache path, no re-setup
+    fresh = Problem(**KW)
+    fresh.add_variable()
+    fresh.set_objective(quadratic={(0, 0): 2.0}, affine={0: -6.0})
+    fresh.optimize()
+    assert abs(pr.value(x) - fresh.value(0)) < 1e-6
+
+
+def test_quadratic_pattern_growth_triggers_resetup():
+    pr = Problem(**KW)
+    pr.add_variables(2)
+    pr.set_objective(quadratic={(0, 0): 2.0}, affine={0: -2.0, 1: -2.0})
+    pr.add_constraint({1: 1.0}, lb=-5.0, ub=5.0)
+    pr.optimize()
+    pr.set_objective(quadratic={(0, 0): 2.0, (1, 1): 2.0},
+                     affine={0: -2.0, 1: -2.0})
+    pr.optimize()  # new P pattern -> silent re-setup, still correct
+    assert abs(pr.value(1) - 1.0) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# constraint processing: sets, constants, empty rows, duplicates
+# ---------------------------------------------------------------------------
+
+def test_scalar_sets_lessthan_greaterthan_interval_equalto():
+    for lb, ub, expect in [(-math.inf, 0.5, 0.5),   # LessThan
+                           (2.0, math.inf, 2.0),    # GreaterThan
+                           (0.2, 0.7, 0.7),         # Interval
+                           (0.25, 0.25, 0.25)]:     # EqualTo
+        pr, x = _1var()
+        pr.set_objective(quadratic={(0, 0): 2.0}, affine={0: -2.0})
+        pr.add_constraint({0: 1.0}, lb=lb, ub=ub)
+        pr.optimize()
+        assert abs(pr.value(x) - expect) < 1e-5, (lb, ub)
+
+
+def test_constraint_constant_folded_into_bounds():
+    # a'x + 1 <= 2  <=>  a'x <= 1
+    pr, x = _1var()
+    pr.set_objective(quadratic={(0, 0): 2.0}, affine={0: -4.0})
+    pr.add_constraint({0: 1.0}, ub=2.0, constant=1.0)
+    pr.optimize()
+    assert abs(pr.value(x) - 1.0) < 1e-5
+
+
+def test_scalar_constant_change_refolds():
+    pr, x = _1var()
+    pr.set_objective(quadratic={(0, 0): 2.0}, affine={0: -4.0})
+    c = pr.add_constraint({0: 1.0}, ub=2.0, constant=0.0)
+    pr.optimize()
+    assert abs(pr.value(x) - 2.0) < 1e-5
+    pr.set_constraint_constant(c, 1.0)   # now x <= 1
+    pr.optimize()
+    assert abs(pr.value(x) - 1.0) < 1e-5
+
+
+def test_empty_row_loose_is_satisfied():
+    pr, x = _1var()
+    pr.set_objective(quadratic={(0, 0): 2.0}, affine={0: -2.0})
+    pr.add_constraint({}, lb=-1.0, ub=1.0)  # 0-row: -1 <= 0 <= 1 holds
+    pr.optimize()
+    assert pr.termination_status() == "OPTIMAL"
+    assert abs(pr.value(x) - 1.0) < 1e-5
+
+
+def test_empty_row_infeasible_bounds():
+    pr, x = _1var()
+    pr.set_objective(quadratic={(0, 0): 2.0}, affine={0: -2.0})
+    pr.add_constraint({}, lb=1.0, ub=2.0)   # 0 >= 1: infeasible
+    pr.optimize()
+    assert pr.termination_status() == "INFEASIBLE"
+
+
+def test_zero_coefficients_dropped_from_pattern():
+    pr = Problem(**KW)
+    pr.add_variables(2)
+    pr.set_objective(quadratic={(0, 0): 2.0, (1, 1): 2.0})
+    c = pr.add_constraint([1.0, 0.0], lb=1.0)   # explicit zero dropped
+    pr.optimize()
+    assert 1 not in pr._rows[c.index]
+    assert abs(pr.value(0) - 1.0) < 1e-5
+
+
+def test_duplicate_terms_in_array_objective():
+    # array input: affine=[a0,a1]; later coefficient change overwrites,
+    # not accumulates (MOI ScalarCoefficientChange semantics)
+    pr, x = _1var()
+    pr.set_objective(quadratic={(0, 0): 2.0}, affine=[-2.0])
+    pr.set_objective_coefficient(x, -4.0)
+    pr.optimize()
+    assert abs(pr.value(x) - 2.0) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# vector sets
+# ---------------------------------------------------------------------------
+
+def test_vector_zeros_with_constants():
+    # A x + b = 0 with b=[-1, -2]: x = [1, 2]
+    pr = Problem(**KW)
+    pr.add_variables(2)
+    pr.set_objective(quadratic={(0, 0): 2.0, (1, 1): 2.0})
+    cons = pr.add_vector_constraint(np.eye(2), "zeros",
+                                    constants=[-1.0, -2.0])
+    assert len(cons) == 2 and all(isinstance(c, Constraint) for c in cons)
+    pr.optimize()
+    np.testing.assert_allclose(pr.values(), [1.0, 2.0], atol=1e-5)
+
+
+def test_vector_nonnegatives_nonpositives():
+    pr = Problem(**KW)
+    pr.add_variables(2)
+    pr.set_objective(quadratic={(0, 0): 2.0, (1, 1): 2.0},
+                     affine=[-4.0, 4.0])
+    pr.add_vector_constraint([[1.0, 0.0]], "nonpositives",
+                             constants=[-1.0])   # x0 - 1 <= 0
+    pr.add_vector_constraint([[0.0, 1.0]], "nonnegatives",
+                             constants=[1.0])    # x1 + 1 >= 0
+    pr.optimize()
+    np.testing.assert_allclose(pr.values(), [1.0, -1.0], atol=1e-5)
+
+
+def test_vector_constraint_bad_set_and_length():
+    pr = Problem(**KW)
+    pr.add_variables(2)
+    with pytest.raises(ValueError, match="set_type"):
+        pr.add_vector_constraint(np.eye(2), "cone_of_shame")
+    with pytest.raises(ValueError, match="length"):
+        pr.add_vector_constraint(np.eye(2), "zeros", constants=[1.0])
+
+
+# ---------------------------------------------------------------------------
+# attribute getters / setters / RawStatusString
+# ---------------------------------------------------------------------------
+
+def test_get_setting_default_and_explicit():
+    pr = Problem(**KW)
+    assert pr.get_setting("eps_abs") == 1e-8         # explicit
+    assert pr.get_setting("alpha") == 1.6            # C default
+    with pytest.raises(ValueError, match="Unknown"):
+        pr.get_setting("not_a_setting")
+
+
+def test_set_setting_unknown_rejected():
+    pr = Problem(**KW)
+    with pytest.raises(ValueError, match="Unknown setting"):
+        pr.set_setting("frobnicate", 1)
+
+
+def test_set_setting_non_updatable_after_setup():
+    pr, x = _1var()
+    pr.set_objective(quadratic={(0, 0): 2.0})
+    pr.optimize()
+    with pytest.raises(ValueError, match="cannot be changed"):
+        pr.set_setting("sigma", 1e-3)
+    pr.set_setting("eps_abs", 1e-6)   # updatable: fine
+    assert pr.get_setting("eps_abs") == 1e-6
+
+
+def test_is_updatable_matches_reference_lists():
+    # reference constants.jl:29-44 updatable settings
+    for name in ("rho", "eps_abs", "eps_rel", "max_iter", "alpha",
+                 "polish", "verbose", "time_limit", "check_termination"):
+        assert Problem.is_updatable(name), name
+    for name in ("sigma", "scaling", "linsys_solver", "adaptive_rho"):
+        assert not Problem.is_updatable(name), name
+
+
+def test_raw_status_string_and_termination_mapping():
+    pr, x = _1var()
+    assert pr.termination_status() == "OPTIMIZE_NOT_CALLED"
+    pr.set_objective(quadratic={(0, 0): 2.0})
+    pr.optimize()
+    assert pr.raw_status() == "Solved"
+    assert pr.termination_status() == "OPTIMAL"
+
+
+def test_results_require_optimize():
+    pr, x = _1var()
+    with pytest.raises(RuntimeError, match="optimize"):
+        pr.value(x)
+    with pytest.raises(RuntimeError, match="optimize"):
+        pr.solve_time()
+
+
+def test_raw_solver_access():
+    pr, x = _1var()
+    assert pr.raw_solver() is None
+    pr.set_objective(quadratic={(0, 0): 2.0})
+    pr.optimize()
+    from osqp_tpu.interface import Model
+    assert isinstance(pr.raw_solver(), Model)
+
+
+def test_solve_time_and_iterations_populated():
+    pr, x = _1var()
+    pr.set_objective(quadratic={(0, 0): 2.0}, affine={0: -2.0})
+    pr.optimize()
+    assert pr.solve_time() > 0.0
+    assert pr.iterations() > 0
+
+
+# ---------------------------------------------------------------------------
+# certificates x sense x constant interplay
+# ---------------------------------------------------------------------------
+
+def _infeasible_problem():
+    pr, x = _1var()
+    pr.set_objective(quadratic={(0, 0): 2.0})
+    cl = pr.add_constraint({0: 1.0}, lb=1.0)          # x >= 1
+    cu = pr.add_constraint({0: 1.0}, ub=-1.0)         # x <= -1
+    return pr, x, cl, cu
+
+
+def test_infeasible_statuses_and_dual_ray():
+    pr, x, cl, cu = _infeasible_problem()
+    pr.optimize()
+    assert pr.termination_status() == "INFEASIBLE"
+    assert pr.primal_status() == "NO_SOLUTION"
+    assert pr.dual_status() == "INFEASIBILITY_CERTIFICATE"
+    # dual() returns the sign-flipped Farkas ray (MOI_wrapper.jl:876-885).
+    # Validity in solver convention: l'(dy)_- + u'(dy)_+ < 0 over finite
+    # bounds (row cl has l=1, row cu has u=-1)
+    dy = np.array([-pr.dual(cl), -pr.dual(cu)])       # solver-side delta_y
+    val = 1.0 * min(dy[0], 0.0) + (-1.0) * max(dy[1], 0.0)
+    assert val < -1e-9
+    # primal values are NaN-filled (no solution present)
+    assert math.isnan(pr._results.x[0])
+
+
+def test_unbounded_min_reports_ray_and_neg_inf():
+    pr, x = _1var()
+    pr.set_objective(affine={0: -1.0})                # min -x
+    pr.add_constraint({0: 1.0}, lb=0.0)               # x >= 0
+    pr.set_setting("eps_prim_inf", 1e-15)
+    pr.set_setting("check_termination", 1)
+    pr.optimize()
+    assert pr.termination_status() == "DUAL_INFEASIBLE"
+    assert pr.primal_status() == "INFEASIBILITY_CERTIFICATE"
+    ray = pr.values()                                 # primal ray via value()
+    assert ray[0] > 1e-9                              # recession: x up
+    assert pr.objective_value() == -math.inf
+
+
+def test_unbounded_max_reports_plus_inf():
+    pr, x = _1var()
+    pr.set_objective(affine={0: 1.0}, constant=7.0, sense="max")  # max x+7
+    pr.add_constraint({0: 1.0}, lb=0.0)
+    pr.set_setting("eps_prim_inf", 1e-15)
+    pr.set_setting("check_termination", 1)
+    pr.optimize()
+    assert pr.termination_status() == "DUAL_INFEASIBLE"
+    # obj_val=-inf internally; MAX flips to +inf; constant doesn't change inf
+    assert pr.objective_value() == math.inf
+
+
+def test_dual_sign_convention_greaterthan():
+    # min x^2 s.t. x >= 1: MOI dual of a GreaterThan is >= 0 (here 2.0)
+    pr, x = _1var()
+    pr.set_objective(quadratic={(0, 0): 2.0})
+    c = pr.add_constraint({0: 1.0}, lb=1.0)
+    pr.optimize()
+    assert abs(pr.dual(c) - 2.0) < 1e-5
+
+
+def test_dual_sign_convention_lessthan():
+    # min x^2 s.t. x <= -1: MOI dual of a LessThan is <= 0 (here -2.0)
+    pr, x = _1var()
+    pr.set_objective(quadratic={(0, 0): 2.0})
+    c = pr.add_constraint({0: 1.0}, ub=-1.0)
+    pr.optimize()
+    assert abs(pr.dual(c) + 2.0) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# modification paths
+# ---------------------------------------------------------------------------
+
+def test_set_constraint_function_same_pattern_inplace():
+    pr, x = _1var()
+    pr.set_objective(quadratic={(0, 0): 2.0}, affine={0: -4.0})
+    c = pr.add_constraint({0: 1.0}, ub=1.0)
+    pr.optimize()
+    assert not pr._needs_setup
+    pr.set_constraint_function(c, {0: 2.0})           # same pattern
+    assert not pr._needs_setup                        # in-place via cache
+    pr.optimize()
+    assert abs(pr.value(x) - 0.5) < 1e-5              # 2x <= 1
+
+
+def test_set_constraint_function_new_pattern_resetup():
+    pr = Problem(**KW)
+    pr.add_variables(2)
+    pr.set_objective(quadratic={(0, 0): 2.0, (1, 1): 2.0},
+                     affine=[-4.0, -4.0])
+    c = pr.add_constraint({0: 1.0}, ub=1.0)
+    pr.optimize()
+    pr.set_constraint_function(c, {0: 1.0, 1: 1.0})   # pattern grows
+    assert pr._needs_setup
+    pr.optimize()
+    np.testing.assert_allclose(pr.values(), [0.5, 0.5], atol=1e-5)
+
+
+def test_delete_constraint_tombstone():
+    pr, x = _1var()
+    pr.set_objective(quadratic={(0, 0): 2.0}, affine={0: -4.0})
+    c = pr.add_constraint({0: 1.0}, ub=1.0)
+    pr.optimize()
+    assert abs(pr.value(x) - 1.0) < 1e-5
+    pr.delete_constraint(c)
+    pr.optimize()
+    assert abs(pr.value(x) - 2.0) < 1e-5              # unconstrained now
+
+
+def test_delete_variable_refused():
+    pr, x = _1var()
+    with pytest.raises(NotImplementedError, match="deletion"):
+        pr.delete_variable(x)
+
+
+def test_starts_survive_structural_rebuild():
+    pr, x = _1var()
+    pr.set_objective(quadratic={(0, 0): 2.0}, affine={0: -4.0})
+    pr.optimize()
+    pr.set_primal_start([2.0])
+    pr.add_constraint({0: 1.0}, ub=5.0)               # structural change
+    pr.optimize()                                     # rebuild keeps x-start
+    assert pr.termination_status() == "OPTIMAL"
+    assert abs(pr.value(x) - 2.0) < 1e-5
+
+
+def test_ten_round_modify_resolve_loop():
+    # reference test/MOI_wrapper.jl:775-789 pattern
+    pr, x = _1var()
+    pr.set_objective(quadratic={(0, 0): 2.0}, affine={0: -2.0})
+    c = pr.add_constraint({0: 1.0}, ub=10.0)
+    for k in range(10):
+        pr.set_objective_coefficient(x, -2.0 * (k + 1))
+        pr.optimize()
+        assert pr.termination_status() == "OPTIMAL"
+        assert abs(pr.value(x) - (k + 1)) < 1e-5
