@@ -212,6 +212,15 @@ class SparseModel:
         self._is_setup = True
         return self
 
+    def update_settings(self, **kwargs):
+        """Post-setup settings update (interface.jl:442-670 semantics):
+        validates against UPDATABLE_SETTINGS. No factor is carried across
+        sparse solves (the Jacobi preconditioner is rebuilt in-jit each
+        solve), so a rho change simply flows through the next solve's
+        parameter bundle."""
+        self._check()
+        self.settings.update_inplace(**kwargs)
+
     def warm_start(self, x=None, y=None):
         """Set unscaled warm starts (x and/or y; omitted one is zeroed)."""
         self._check()

@@ -994,6 +994,21 @@ class BlockTridiagSolver:
         self._is_setup = True
         return self
 
+    def update_settings(self, **kwargs):
+        """Post-setup settings update (interface.jl:442-670 semantics):
+        validates against UPDATABLE_SETTINGS. A rho change updates the
+        carried :class:`TFactor`'s rho_bar — the next solve's bit-exact
+        reuse check then refactorizes in-jit iff the implied rho vector
+        actually changed (osqp_update_rho economics)."""
+        if not self._is_setup:
+            raise RuntimeError("setup() first")
+        old_rho = self.settings.rho
+        self.settings.update_inplace(**kwargs)
+        if ("rho" in kwargs and self.settings.rho != old_rho
+                and self._factor is not None):
+            self._factor = self._factor._replace(
+                rho_bar=jnp.asarray(self.settings.rho, self._dtype))
+
     def solve(self, q, l, u, x0=None, y0=None, rho0=None):
         """q (B, n) or (n,); l/u (B, m) or (m,). Returns a dict with x, y,
         status codes, iters, obj_val (unscaled, per lane)."""

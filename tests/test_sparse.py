@@ -153,3 +153,23 @@ def test_sparse_row_sharded_over_mesh():
     assert r_sh.info.status == r_ref.info.status == "Solved"
     assert r_sh.info.iter == r_ref.info.iter
     np.testing.assert_allclose(r_sh.x, r_ref.x, atol=1e-5)
+
+
+def test_sparse_update_settings():
+    """update_settings parity on the sparse engine (UPDATABLE gate)."""
+    import pytest
+    import scipy.sparse as sp
+    from osqp_tpu.sparse_core import SparseModel
+    P = sp.diags([2.0, 2.0, 2.0]).tocsc()
+    A = sp.eye(3).tocsc()
+    m = SparseModel()
+    m.setup(P=P, q=np.array([-1., 0., 1.]), A=A, l=-np.ones(3),
+            u=np.ones(3), verbose=False, eps_abs=1e-6, eps_rel=1e-6)
+    r0 = m.solve()
+    assert r0.info.status == "Solved"
+    with pytest.raises(ValueError, match="cannot be updated"):
+        m.update_settings(scaling=0)
+    m.update_settings(eps_abs=1e-8, eps_rel=1e-8, rho=1.0)
+    r1 = m.solve()
+    assert r1.info.status == "Solved"
+    np.testing.assert_allclose(r1.x, r0.x, atol=1e-5)

@@ -438,3 +438,20 @@ def test_structured_mixed_lane_classification_warns():
         ref = model.solve()
         np.testing.assert_allclose(np.asarray(out["x"])[lane], ref.x,
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_structured_update_settings():
+    """update_settings parity (interface.jl:442-670): UPDATABLE gate +
+    rho update refactorizes via the carried TFactor's reuse check."""
+    P, q, A, l, u, b = _control(nx=4, nu=2, T=6, seed=1)
+    slv = BlockTridiagSolver().setup(P=sp.csc_matrix(P), A=sp.csc_matrix(A),
+                                     block=b, eps_abs=1e-6, eps_rel=1e-6)
+    out0 = slv.solve(q, l, u)
+    assert int(np.asarray(out0["status"])[0]) == C.SOLVED
+    with pytest.raises(ValueError, match="cannot be updated"):
+        slv.update_settings(sigma=1e-3)
+    slv.update_settings(rho=10.0, max_iter=2000)
+    out1 = slv.solve(q, l, u)
+    assert int(np.asarray(out1["status"])[0]) == C.SOLVED
+    np.testing.assert_allclose(np.asarray(out1["x"]), np.asarray(out0["x"]),
+                               rtol=1e-4, atol=1e-5)
