@@ -163,6 +163,29 @@ class SparseModel:
         # the upper triangle
         Pu = _sp.triu(_sp.csc_matrix(P))
         Psym = (Pu + Pu.T - _sp.diags(Pu.diagonal())).tocsc()
+        # Setup-time non-convexity detection. The direct engines get this
+        # for free from the factorization (LDL inertia / Cholesky NaN —
+        # reference test/non_convex.jl:13-21); the matrix-free path has no
+        # factorization, so estimate lambda_min(P) instead (ARPACK
+        # shift-invert-free Lanczos; dense eigvalsh below n=5). Heuristic by
+        # nature — a barely-indefinite P can slip through to the in-loop
+        # divergence -> Non_convex check.
+        if Psym.nnz:
+            scale = float(np.max(np.abs(Psym.data)))
+            try:
+                if n < 5:
+                    lam_min = float(np.linalg.eigvalsh(Psym.toarray())[0])
+                else:
+                    from scipy.sparse.linalg import eigsh
+                    lam_min = float(eigsh(Psym, k=1, which="SA", tol=1e-3,
+                                          maxiter=200,
+                                          return_eigenvectors=False)[0])
+            except Exception:
+                lam_min = 0.0  # estimator failed: defer to in-loop checks
+            if lam_min < -1e-7 * max(1.0, scale):
+                raise ValueError(
+                    "Error in setup: P + sigma*I is not positive definite "
+                    "(the problem is non-convex)")
         Pc = _sp.coo_matrix(Psym)
         Ac = _sp.coo_matrix(_sp.csc_matrix(A))
         if self._mesh is not None and fmt != "padded":

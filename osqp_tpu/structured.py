@@ -973,7 +973,12 @@ class BlockTridiagSolver:
             E *= de
             gnorm = np.abs(Pcs).max(axis=0).toarray().ravel() \
                 if Pcs.nnz else np.zeros(n)
-            gam = max(np.mean(gnorm), C.MIN_SCALING)
+            # cost normalization with a UNIT-representative q (the dense
+            # Ruiz uses max(mean(colnorms P), |q|_inf); q is unknown at
+            # structured setup, so anchor at 1.0 — without the anchor,
+            # P = 0 compounds gam = 1e4 per sweep into c ~ 1e40 and the
+            # first scaled iterate overflows straight to Non_convex)
+            gam = max(np.mean(gnorm), 1.0)
             gam = 1.0 / min(max(gam, C.MIN_SCALING), C.MAX_SCALING)
             Pcs = Pcs * gam
             c *= gam
