@@ -124,7 +124,9 @@ class SparseModel:
     """Large sparse QP solver (scipy.sparse / COO input, matrix-free CG).
 
     API-compatible subset of :class:`osqp_tpu.Model`: setup / solve /
-    warm_start / update (q, l, u — value updates of P/A rebuild operators).
+    warm_start / update (q, l, u, and value-only Px/Ax with optional index
+    subsets — the full reference update surface; pattern immutable) /
+    update_settings.
     With ``polish=True`` the polish step runs matrix-free: the reduced
     active-set system is solved by Jacobi-preconditioned CG (no factorization
     exists on this path), same acceptance rule as the dense polish.
@@ -186,37 +188,29 @@ class SparseModel:
                 raise ValueError(
                     "Error in setup: P + sigma*I is not positive definite "
                     "(the problem is non-convex)")
-        Pc = _sp.coo_matrix(Psym)
-        Ac = _sp.coo_matrix(_sp.csc_matrix(A))
         if self._mesh is not None and fmt != "padded":
             raise ValueError("mesh sharding requires sparse_format='padded'")
-        make = (padded_op_from_coo if fmt == "padded"
-                else sparse_op_from_coo)
-        self._P_op = make(Pc.row, Pc.col, Pc.data, (n, n), dtype)
-        self._A_op = make(Ac.row, Ac.col, Ac.data, (m, n), dtype)
+        # canonical CSC copies kept for the value-only update contract
+        # (interface.jl:315-406: Px/Ax in the setup patterns' nnz order)
+        Pu_csc = Pu.tocsc().copy()
+        Pu_csc.sort_indices()
+        A_csc = _sp.csc_matrix(A).copy()
+        A_csc.sort_indices()
+        self._Pu_csc = Pu_csc
+        self._A_csc = A_csc
+        self._make = (padded_op_from_coo if fmt == "padded"
+                      else sparse_op_from_coo)
+        self.n, self.m = int(n), int(m)
+        self._dtype = dtype
         if self._mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as _P
             if m % self._mesh.devices.size != 0:
                 raise ValueError(
                     f"m={m} must be divisible by the mesh size "
                     f"{self._mesh.devices.size}")
-            rowmat = NamedSharding(self._mesh, _P(self._axis, None))
-            rep = NamedSharding(self._mesh, _P())
-            shard = lambda op: PaddedOp(
-                jax.device_put(op.vals, rowmat),
-                jax.device_put(op.cols, rowmat),
-                jax.device_put(op.tvals, rowmat),
-                jax.device_put(op.tcols, rowmat),
-                op.shape,
-                sq_tvals=jax.device_put(op.sq_tvals, rowmat),
-                diag=(jax.device_put(op.diag, rep)
-                      if op.diag is not None else None))
-            self._A_op = shard(self._A_op)
-            self._P_op = shard(self._P_op)
             self._row_sharding = NamedSharding(self._mesh, _P(self._axis))
-            self._rep_sharding = rep
-        self.n, self.m = int(n), int(m)
-        self._dtype = dtype
+            self._rep_sharding = NamedSharding(self._mesh, _P())
+        self._rebuild_ops()
         l = np.asarray(l, float)
         u = np.asarray(u, float)
         if np.any(np.maximum(l, -C.OSQP_INFTY) > np.minimum(u, C.OSQP_INFTY)):
@@ -234,6 +228,34 @@ class SparseModel:
             self._y0 = jax.device_put(self._y0, self._row_sharding)
         self._is_setup = True
         return self
+
+    def _rebuild_ops(self):
+        """(Re)build the device operators from the stored canonical CSC
+        matrices (setup and after value-only P/A updates), re-applying the
+        mesh sharding."""
+        n, m = self.n, self.m
+        dtype = self._dtype
+        Pu = self._Pu_csc
+        Psym = (Pu + Pu.T - _sp.diags(Pu.diagonal())).tocsc()
+        Pc = _sp.coo_matrix(Psym)
+        Ac = _sp.coo_matrix(self._A_csc)
+        self._P_op = self._make(Pc.row, Pc.col, Pc.data, (n, n), dtype)
+        self._A_op = self._make(Ac.row, Ac.col, Ac.data, (m, n), dtype)
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as _P
+            rowmat = NamedSharding(self._mesh, _P(self._axis, None))
+            rep = self._rep_sharding
+            shard = lambda op: PaddedOp(
+                jax.device_put(op.vals, rowmat),
+                jax.device_put(op.cols, rowmat),
+                jax.device_put(op.tvals, rowmat),
+                jax.device_put(op.tcols, rowmat),
+                op.shape,
+                sq_tvals=jax.device_put(op.sq_tvals, rowmat),
+                diag=(jax.device_put(op.diag, rep)
+                      if op.diag is not None else None))
+            self._A_op = shard(self._A_op)
+            self._P_op = shard(self._P_op)
 
     def update_settings(self, **kwargs):
         """Post-setup settings update (interface.jl:442-670 semantics):
@@ -253,10 +275,70 @@ class SparseModel:
         self._y0 = (jnp.asarray(np.asarray(y, float), dtype)
                     if y is not None else jnp.zeros((self.m,), dtype))
 
-    def update(self, q=None, l=None, u=None):
-        """In-place data update (vector data only on this path)."""
+    def update(self, q=None, l=None, u=None, Px=None, Px_idx=None,
+               Ax=None, Ax_idx=None):
+        """In-place data update (interface.jl:235-440 semantics). ``Px``/
+        ``Ax`` are value-only updates in the setup patterns' canonical
+        upper-triangular-CSC / CSC nnz order, optionally restricted to
+        ``*_idx`` subsets; the sparsity pattern is immutable. A P update
+        re-runs the setup-time non-convexity estimate (the matrix-free
+        analogue of the reference's refactorization failure)."""
         self._check()
         dtype = self._dtype
+        rebuild = False
+        if Px is not None:
+            Px = np.asarray(Px, float).ravel()
+            nnz = self._Pu_csc.nnz
+            if Px_idx is None:
+                if Px.shape[0] != nnz:
+                    raise ValueError(f"Px must have length nnz = {nnz}")
+                self._Pu_csc.data[:] = Px
+            else:
+                idx = np.asarray(Px_idx, np.int64).ravel()
+                if idx.shape[0] != Px.shape[0]:
+                    raise ValueError("Px and Px_idx must have equal length")
+                if idx.size and (idx.min() < 0 or idx.max() >= nnz):
+                    raise ValueError("Px_idx out of range")
+                self._Pu_csc.data[idx] = Px
+            scale = float(np.max(np.abs(self._Pu_csc.data))) \
+                if self._Pu_csc.nnz else 0.0
+            lam_min = 0.0
+            try:
+                if self.n < 5:
+                    Pu = self._Pu_csc
+                    Pfull = (Pu + Pu.T - _sp.diags(Pu.diagonal())).toarray()
+                    lam_min = float(np.linalg.eigvalsh(Pfull)[0])
+                elif self._Pu_csc.nnz:
+                    from scipy.sparse.linalg import eigsh
+                    Pu = self._Pu_csc
+                    Pfull = (Pu + Pu.T - _sp.diags(Pu.diagonal()))
+                    lam_min = float(eigsh(Pfull, k=1, which="SA", tol=1e-3,
+                                          maxiter=200,
+                                          return_eigenvectors=False)[0])
+            except Exception:
+                lam_min = 0.0
+            if lam_min < -1e-7 * max(1.0, scale):
+                raise ValueError(
+                    "Error in update: P + sigma*I is not positive definite "
+                    "(the problem is non-convex)")
+            rebuild = True
+        if Ax is not None:
+            Ax = np.asarray(Ax, float).ravel()
+            nnz = self._A_csc.nnz
+            if Ax_idx is None:
+                if Ax.shape[0] != nnz:
+                    raise ValueError(f"Ax must have length nnz = {nnz}")
+                self._A_csc.data[:] = Ax
+            else:
+                idx = np.asarray(Ax_idx, np.int64).ravel()
+                if idx.shape[0] != Ax.shape[0]:
+                    raise ValueError("Ax and Ax_idx must have equal length")
+                if idx.size and (idx.min() < 0 or idx.max() >= nnz):
+                    raise ValueError("Ax_idx out of range")
+                self._A_csc.data[idx] = Ax
+            rebuild = True
+        if rebuild:
+            self._rebuild_ops()
         if q is not None:
             q = np.asarray(q, float)
             if q.shape[0] != self.n:

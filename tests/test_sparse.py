@@ -173,3 +173,60 @@ def test_sparse_update_settings():
     r1 = m.solve()
     assert r1.info.status == "Solved"
     np.testing.assert_allclose(r1.x, r0.x, atol=1e-5)
+
+
+def test_sparse_update_P_A_values_differential():
+    """Value-only P/A updates on the sparse engine must equal a fresh
+    setup with the updated matrices (test_update_matrices differential
+    pattern; reference interface.jl:315-406 semantics)."""
+    import scipy.sparse as sp
+    from osqp_tpu.sparse_core import SparseModel
+    rng = np.random.RandomState(3)
+    n, m = 12, 20
+    M = rng.randn(n, n) * (rng.rand(n, n) < 0.4)
+    P = sp.csc_matrix(np.triu(M.T @ M / n + 0.5 * np.eye(n)))
+    A = sp.csc_matrix(rng.randn(m, n) * (rng.rand(m, n) < 0.5))
+    q = rng.randn(n)
+    l = -np.ones(m)
+    u = np.ones(m)
+    kw = dict(verbose=False, eps_abs=1e-8, eps_rel=1e-8)
+
+    mdl = SparseModel()
+    mdl.setup(P=P, q=q, A=A, l=l, u=u, **kw)
+    mdl.solve()
+
+    # full-value updates
+    P2 = P.copy(); P2.sort_indices()
+    P2.data = P2.data * 1.5
+    A2 = A.copy(); A2.sort_indices()
+    A2.data = A2.data * 0.7
+    mdl.update(Px=P2.data, Ax=A2.data)
+    r = mdl.solve()
+
+    fresh = SparseModel()
+    fresh.setup(P=P2, q=q, A=A2, l=l, u=u, **kw)
+    rf = fresh.solve()
+    assert r.info.status == rf.info.status == "Solved"
+    np.testing.assert_allclose(r.x, rf.x, rtol=1e-6, atol=1e-8)
+
+    # index-subset update on A
+    A3 = A2.copy()
+    idx = np.array([0, 3, 5], np.int64)
+    vals = A3.data[idx] * 2.0
+    A3.data[idx] = vals
+    mdl.update(Ax=vals, Ax_idx=idx)
+    r3 = mdl.solve()
+    fresh3 = SparseModel()
+    fresh3.setup(P=P2, q=q, A=A3, l=l, u=u, **kw)
+    rf3 = fresh3.solve()
+    np.testing.assert_allclose(r3.x, rf3.x, rtol=1e-6, atol=1e-8)
+
+    # pattern immutability / validation errors
+    import pytest
+    with pytest.raises(ValueError, match="length nnz"):
+        mdl.update(Px=np.ones(P2.nnz + 1))
+    with pytest.raises(ValueError, match="out of range"):
+        mdl.update(Ax=np.ones(1), Ax_idx=np.array([A2.nnz]))
+    # non-convex P update refused (matrix-free refactorization analogue)
+    with pytest.raises(ValueError, match="non-convex"):
+        mdl.update(Px=-10.0 * np.abs(P2.data))
