@@ -455,3 +455,33 @@ def test_structured_update_settings():
     assert int(np.asarray(out1["status"])[0]) == C.SOLVED
     np.testing.assert_allclose(np.asarray(out1["x"]), np.asarray(out0["x"]),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_structured_time_limit_freezes_finished_lanes():
+    """Mixed batch under time_limit: the solvable lane's committed result
+    must survive expiry (frozen by the chunked driver), while the
+    never-converging lane reports Time_limit_reached."""
+    rng = np.random.default_rng(2)
+    n, b = 16, 4
+    P = sp.block_diag([np.eye(b) for _ in range(n // b)]).tocsc()
+    A = sp.eye(n).tocsc()
+    q = np.stack([rng.normal(size=n), rng.normal(size=n)])
+    l = -np.ones((2, n)); u = np.ones((2, n))
+    slv = BlockTridiagSolver().setup(
+        P=P, A=A, block=b, max_iter=5_000_000, eps_abs=1e-8, eps_rel=1e-8,
+        check_termination=25, time_limit=1.0)
+    # lane 0 solves quickly (well-conditioned); lane 1 cannot reach the
+    # impossible tolerance -> keep it spinning by scaling its cost up and
+    # making eps unreachable only for it is not expressible per-lane, so
+    # instead make the SHARED tolerance unreachable for lane 1 by keeping
+    # lane 0 trivial: q=0 solves exactly (x=0 interior).
+    q[0] = 0.0
+    slv.update_settings(eps_abs=1e-300, eps_rel=0.0)
+    out = slv.solve(q, l, u)
+    st = np.asarray(out["status"])
+    # lane 0: x*=0 gives exactly-zero residuals -> Solved even at eps=1e-300
+    assert st[0] == C.SOLVED
+    assert st[1] == C.TIME_LIMIT_REACHED
+    np.testing.assert_allclose(np.asarray(out["x"])[0], np.zeros(n),
+                               atol=1e-12)
+    assert np.isnan(np.asarray(out["x"])[1]).all()
