@@ -1,15 +1,23 @@
 """Port of /root/reference/test/polishing.jl.
 
 The reference's third case loads a Mosek-solved fixture
-(test/problem_data/random_polish_qp.jld2, n=30 m=50); here the oracle is a
-direct KKT-residual check on the polished solution (stationarity, primal
-feasibility, complementarity at 1e-6) plus a high-accuracy self-solve — the
-same differential pattern, without a binary fixture.
+(test/problem_data/random_polish_qp.jld2, n=30 m=50). That fixture's
+numeric data (problem + Mosek's x/y/objective) is re-exported to
+tests/data/random_polish_qp.npz (see scripts/export_polish_fixture.py) and
+used verbatim as the external oracle in test_polish_mosek_fixture —
+the one truly third-party-computed anchor available offline. The
+synthetic test_polish_random keeps the KKT-residual differential pattern
+for a second random instance.
 """
 
+import os
+
 import numpy as np
+import pytest
 
 import osqp_tpu as osqp
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "data", "random_polish_qp.npz")
 
 TOL = 1e-3
 
@@ -74,6 +82,55 @@ def test_polishing_unconstrained():
     assert np.allclose(results.y, np.zeros(n), atol=TOL)
     assert abs(results.info.obj_val - obj_test) < TOL
     assert results.info.status_polish == 1
+
+
+@pytest.mark.parametrize("engine", ["jax-direct", "jax-cg", "native"])
+def test_polish_mosek_fixture(engine):
+    # polishing.jl:70-93: the reference asserts x, y, obj against a
+    # Mosek-computed solution at 1e-3 with polish on. Same data, same
+    # gates, per engine.
+    data = np.load(FIXTURE)
+    P, q, A, l, u = data["P"], data["q"], data["A"], data["l"], data["u"]
+
+    opts = polish_options()
+    if engine == "native":
+        from osqp_tpu.native import NativeModel
+        model = NativeModel().setup(P=P, q=q, A=A, l=l, u=u, **opts)
+    else:
+        if engine == "jax-cg":
+            opts["linsys_solver"] = "indirect"
+        model = osqp.Model()
+        model.setup(P=P, q=q, A=A, l=l, u=u, **opts)
+    results = model.solve()
+
+    assert results.info.status == "Solved"
+    assert results.info.status_polish == 1
+    assert np.allclose(results.x, data["x_test"], atol=TOL)
+    assert np.allclose(results.y, data["y_test"], atol=TOL)
+    assert abs(results.info.obj_val - float(data["obj_test"])) < TOL
+
+
+def test_polish_mosek_fixture_batched():
+    # Same Mosek anchor through the batched front-end (batch of 3 with
+    # scaled q in lanes 1-2; lane 0 must still hit Mosek's solution).
+    from osqp_tpu.batch import BatchedSolver
+    from osqp_tpu.settings import Settings
+
+    data = np.load(FIXTURE)
+    P, q, A, l, u = data["P"], data["q"], data["A"], data["l"], data["u"]
+    B = 3
+    qs = np.stack([q, q * 1.1, q * 0.9])
+    ls, us = np.tile(l, (B, 1)), np.tile(u, (B, 1))
+
+    s = Settings(verbose=False, polish=True, eps_abs=1e-3, eps_rel=1e-3,
+                 max_iter=5000)
+    out = BatchedSolver(settings=s).solve(P, qs, A, ls, us)
+
+    assert int(np.asarray(out.status)[0]) == 1  # Solved
+    assert int(np.asarray(out.status_polish)[0]) == 1
+    assert np.allclose(np.asarray(out.x[0]), data["x_test"], atol=TOL)
+    assert np.allclose(np.asarray(out.y[0]), data["y_test"], atol=TOL)
+    assert abs(float(np.asarray(out.obj_val)[0]) - float(data["obj_test"])) < TOL
 
 
 def test_polish_random():
