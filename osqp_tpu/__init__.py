@@ -55,6 +55,11 @@ def __getattr__(name):
     if name == "make_qp_layer":
         from .diff import make_qp_layer
         return make_qp_layer
+    if name in ("export_prepared", "load_artifact", "PreparedServer"):
+        from . import serve
+        return {"export_prepared": serve.export_prepared,
+                "load_artifact": serve.load,
+                "PreparedServer": serve.PreparedServer}[name]
     raise AttributeError(f"module 'osqp_tpu' has no attribute '{name}'")
 
 
@@ -70,6 +75,9 @@ __all__ = [
     "BlockTridiagSolver",
     "solve_qp",
     "make_qp_layer",
+    "export_prepared",
+    "load_artifact",
+    "PreparedServer",
     "problems",
     "Settings",
     "Info",

@@ -1,0 +1,149 @@
+"""AOT serving artifact (osqp_tpu.serve) — export / deserialize / drive.
+
+The artifact is the TPU-native analogue of OSQP's embedded codegen: one
+problem structure baked into a serialized StableHLO program, per-request
+vectors as runtime inputs (see osqp_tpu/serve.py module docstring). These
+tests pin the contract: bit-identical results to the live prepared solver,
+factor-state carry across requests, and self-contained deserialization.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from osqp_tpu import constants as C
+from osqp_tpu.batch import BatchedSolver
+from osqp_tpu.serve import PreparedServer, export_prepared, load
+from osqp_tpu.settings import Settings
+
+
+def _problem(B=8, n=6, m=10, seed=3):
+    rng = np.random.RandomState(seed)
+    M = rng.randn(n, n)
+    P = M @ M.T / n + 0.1 * np.eye(n)
+    A = rng.randn(m, n) / np.sqrt(n)
+    q = rng.randn(B, n)
+    c = rng.randn(B, m) * 0.1
+    w = 0.5 + rng.rand(B, m)
+    return P, q, A, c - w, c + w
+
+
+def _prepared_solver(**kw):
+    s = Settings(eps_abs=1e-6, eps_rel=1e-6, **kw)
+    return BatchedSolver(settings=s, kkt_mode="shared")
+
+
+def test_export_load_matches_live_solver(tmp_path):
+    P, q, A, l, u = _problem()
+    solver = _prepared_solver().prepare(P, A, q=q)
+    path = str(tmp_path / "qp_artifact.npz")
+    blob = export_prepared(solver, B=q.shape[0], path=path)
+    assert len(blob) > 0
+
+    live = solver.solve_prepared(q, l, u)
+
+    server = load(path)
+    assert (server.B, server.n, server.m) == (8, 6, 10)
+    res = server.solve(q, l, u)
+
+    # same program, same inputs -> identical results
+    assert np.array_equal(np.asarray(res.info.status_val),
+                          np.asarray(live.status))
+    assert np.all(np.asarray(res.info.status_val) == C.SOLVED)
+    np.testing.assert_allclose(res.x, np.asarray(live.x), rtol=0, atol=1e-12)
+    np.testing.assert_allclose(res.y, np.asarray(live.y), rtol=0, atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(res.info.iter),
+                                  np.asarray(live.iter))
+    assert all(s == "Solved" for s in res.info.status)
+
+
+def test_factor_state_carries_across_requests():
+    """Second request re-uses the adapted factor/rho exactly like the live
+    prepared solver (reference persistent-workspace economics,
+    interface.jl:408-440)."""
+    P, q, A, l, u = _problem(seed=5)
+    B = q.shape[0]
+
+    solver = _prepared_solver().prepare(P, A, q=q)
+    blob = export_prepared(solver, B=B)
+    server = load(blob)
+
+    rng = np.random.RandomState(7)
+    q2 = q + 0.05 * rng.randn(*q.shape)
+
+    live1 = solver.solve_prepared(q, l, u)
+    live2 = solver.solve_prepared(q2, l, u, x0=live1.x, y0=live1.y)
+
+    res1 = server.solve(q, l, u)
+    res2 = server.solve(q2, l, u, x0=res1.x, y0=res1.y)
+
+    np.testing.assert_array_equal(np.asarray(res2.info.iter),
+                                  np.asarray(live2.iter))
+    np.testing.assert_allclose(res2.x, np.asarray(live2.x), atol=1e-12)
+
+
+def test_artifact_is_self_contained_after_cache_clear(tmp_path):
+    """The artifact must not depend on live jit caches or the solver object."""
+    P, q, A, l, u = _problem(seed=11)
+    solver = _prepared_solver().prepare(P, A, q=q)
+    path = str(tmp_path / "a.npz")
+    export_prepared(solver, B=q.shape[0], path=path)
+    expected = np.asarray(solver.solve_prepared(q, l, u).x)
+    del solver
+    jax.clear_caches()
+
+    server = load(path)
+    res = server.solve(q, l, u)
+    np.testing.assert_allclose(res.x, expected, atol=1e-12)
+
+
+def test_infeasible_lane_nanfill_and_certificate():
+    """The NaN-fill + certificate boundary convention (interface.jl:184-210)
+    is baked into the artifact."""
+    P, q, A, l, u = _problem(seed=13)
+    # lane 0: contradictory duplicated row -> primal infeasible
+    l0, u0 = l.copy(), u.copy()
+    A = np.vstack([A, A[:1]])
+    l = np.hstack([l0, (u0[:, :1] + 1.0)])  # l_dup > u_row0 for every lane? no:
+    u = np.hstack([u0, np.full((u0.shape[0], 1), np.inf)])
+    # make only lane 0 infeasible: dup row demands A0 x >= u0+1 while
+    # original row caps A0 x <= u0
+    l[1:, -1] = -np.inf
+    solver = _prepared_solver().prepare(P, A, q=q)
+    blob = export_prepared(solver, B=q.shape[0])
+    server = load(blob)
+    res = server.solve(q, l, u)
+    sv = np.asarray(res.info.status_val)
+    assert sv[0] in (C.PRIMAL_INFEASIBLE, C.PRIMAL_INFEASIBLE_INACCURATE)
+    assert np.all(np.isnan(res.x[0]))
+    assert np.all(sv[1:] == C.SOLVED)
+    assert np.all(np.isfinite(res.x[1:]))
+    dy = res.prim_inf_cert[0]
+    assert np.isfinite(dy).all() and np.abs(dy).max() > 0
+
+
+def test_polish_baked_into_artifact():
+    P, q, A, l, u = _problem(seed=17)
+    solver = _prepared_solver(polish=True).prepare(P, A, q=q)
+    blob = export_prepared(solver, B=q.shape[0])
+    server = load(blob)
+    res = server.solve(q, l, u)
+    live = solver.solve_prepared(q, l, u)
+    assert np.asarray(res.info.status_polish).min() >= 0
+    np.testing.assert_array_equal(np.asarray(res.info.status_polish),
+                                  np.asarray(live.status_polish))
+    np.testing.assert_allclose(res.x, np.asarray(live.x), atol=1e-12)
+
+
+def test_time_limit_export_refused():
+    P, q, A, l, u = _problem()
+    solver = _prepared_solver(time_limit=1.0).prepare(P, A, q=q)
+    with pytest.raises(ValueError, match="time_limit"):
+        export_prepared(solver, B=q.shape[0])
+
+
+def test_unprepared_solver_refused():
+    with pytest.raises(ValueError, match="prepare"):
+        export_prepared(_prepared_solver(), B=8)
