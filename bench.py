@@ -226,23 +226,32 @@ def main():
         f"MFU vs measured f32 peak {100*mfu_vs_chip:.2f}%")
 
     # ---- per-shape MFU (round-2 verdict item #6: capture the n=256/512
-    # shapes, where the shape sweep showed 46-48%, in the parsed JSON) ----
+    # shapes, where the shape sweep showed 46-48%, in the parsed JSON).
+    # Measured on PREPARED re-solves from cold iterates: scaling + factor
+    # are amortized across requests exactly as in a serving loop, so this
+    # is the steady-state solve-loop MFU — the same quantity the
+    # scripts/bench_shapes.py kernel sweep reports — while cold x0/y0 keep
+    # the full iteration count (a warm-started run would measure 25-iter
+    # solves dominated by dispatch) ----
     def mfu_for_shape(B2, n2, m2):
         P2, q2, A2, l2, u2 = make_batch(B2, n2, m2, seed=3)
         sol2 = BatchedSolver(settings=settings, kkt_mode="shared")
-        o2 = sol2.solve(P2, q2, A2, l2, u2)
-        jax.block_until_ready(o2.x)
-        it2 = float(np.asarray(o2.iter).sum())
-        P2d, A2d = jnp.asarray(P2), jnp.asarray(A2)
+        sol2.prepare(P2, A2, q=q2)
         q2d, l2d, u2d = (jnp.asarray(v) for v in (q2, l2, u2))
+        o2 = sol2.solve_prepared(q2d, l2d, u2d)  # compile + seed factor
+        jax.block_until_ready(o2.x)
         q2s = [q2d + 0.003 * (j + 1) for j in range(R_HI)]
         jax.block_until_ready(q2s[-1])
+        # iteration count from a post-seed solve: the carried factor/rho is
+        # in its steady state, matching the chained timed solves below
+        o2 = sol2.solve_prepared(q2s[0], l2d, u2d)
+        it2 = float(np.asarray(o2.iter).sum())
 
         def chained2(R):
             t0 = time.perf_counter()
             o = None
             for j in range(R):
-                o = sol2.solve(P2d, q2s[j], A2d, l2d, u2d)
+                o = sol2.solve_prepared(q2s[j], l2d, u2d)
             np.asarray(o.x)
             return time.perf_counter() - t0
 
@@ -252,10 +261,10 @@ def main():
         return 100 * tf2 / (197.0 / 3.0), 100 * tf2 / chip_peak_tflops, B2 / t2
 
     mfu_256, mfu_256_chip, qps_256 = mfu_for_shape(1024, 256, 512)
-    log(f"shape (1024,256,512): MFU(f32) {mfu_256:.2f}% "
+    log(f"shape (1024,256,512) prepared: MFU(f32) {mfu_256:.2f}% "
         f"(vs measured peak {mfu_256_chip:.2f}%), {qps_256:.0f} QP/s")
-    mfu_512, mfu_512_chip, qps_512 = mfu_for_shape(256, 512, 1024)
-    log(f"shape (256,512,1024): MFU(f32) {mfu_512:.2f}% "
+    mfu_512, mfu_512_chip, qps_512 = mfu_for_shape(512, 512, 1024)
+    log(f"shape (512,512,1024) prepared: MFU(f32) {mfu_512:.2f}% "
         f"(vs measured peak {mfu_512_chip:.2f}%), {qps_512:.0f} QP/s")
 
     # warm compute-only: the same pipelined-slope method on the prepared

@@ -64,9 +64,13 @@ class Settings:
     time_limit: float = 0.0  # seconds; 0 = no limit
     # -- TPU-native extensions ---------------------------------------------
     dtype: Any = None  # None -> float64 if jax x64 enabled else float32
-    cg_max_iter: int = 0    # 0 = auto: n + 30 (a convergent Krylov budget;
-    #                         the fixed 200 cap stalled the outer ADMM on
-    #                         ill-conditioned families — round-3 CG fix)
+    cg_max_iter: int = 0    # 0 = auto: min(n + 30, 64). With the 1e-12 auto
+    #                         tolerance + block-Jacobi + warm-started CG the
+    #                         per-step KKT error stays summable at 64 (27-cell
+    #                         sweep: identical statuses/objectives vs direct);
+    #                         the budget mainly bounds the wasted tail. The
+    #                         round-2 stalls came from a loose tolerance, not
+    #                         the cap (see core._CG_AUTO_CAP).
     cg_tol: float = 0.0     # 0 = auto: 1e-12 (f64) / 1e-6 (f32). Measured:
     #                         at 1e-9 the per-step KKT error is not summable
     #                         on hard families and the outer ADMM stalls

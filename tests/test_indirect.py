@@ -64,10 +64,11 @@ def test_qdldl_string_accepted():
 
 def test_auto_cg_budget_and_tolerance():
     """Round-3 CG fix (round-2 verdict weak #1): cg_max_iter=0 -> auto
-    (n + 30) and cg_tol=0 -> auto (1e-12 in f64) — tight-and-convergent
-    inner solves. On an ill-conditioned problem the indirect path must
-    match the direct path's outer iteration count exactly (exact KKT
-    steps => identical ADMM trajectory at check boundaries)."""
+    (min(n + 30, 64) — see core._CG_AUTO_CAP) and cg_tol=0 -> auto (1e-12
+    in f64) — tight, convergent, and tail-bounded inner solves. On an
+    ill-conditioned problem the indirect path must match the direct path's
+    outer iteration count exactly (accurate-enough KKT steps => identical
+    ADMM trajectory at check boundaries)."""
     from osqp_tpu.core import resolve_cg_cap, dyn_from_settings
     from osqp_tpu.settings import Settings
     from osqp_tpu.problems import ill_conditioned_qp
@@ -77,7 +78,8 @@ def test_auto_cg_budget_and_tolerance():
     dyn = dyn_from_settings(s, jnp.float64)
     assert float(dyn.cg_tol) == 1e-12             # auto, f64
     dyn2 = resolve_cg_cap(dyn, s, 170)
-    assert int(dyn2.cg_max_iter) == 200           # auto: n + 30
+    assert int(dyn2.cg_max_iter) == 64            # auto: min(n + 30, 64)
+    assert int(resolve_cg_cap(dyn, s, 20).cg_max_iter) == 50  # small n
     s3 = Settings(cg_max_iter=77, cg_tol=1e-8)
     dyn3 = resolve_cg_cap(dyn_from_settings(s3, jnp.float64), s3, 170)
     assert int(dyn3.cg_max_iter) == 77            # explicit respected
