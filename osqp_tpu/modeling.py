@@ -77,6 +77,7 @@ class Problem:
         self._row_const = []   # folded constants
         self._row_lb = []
         self._row_ub = []
+        self._deleted: set = set()  # tombstoned row indices
         self._model: Optional[Model] = None
         self._cache: Optional[ProblemModificationCache] = None
         self._warm: Optional[WarmStartCache] = None
@@ -278,11 +279,29 @@ class Problem:
 
     @property
     def m(self) -> int:
+        """Solver row count (includes tombstoned rows — the assembled A
+        keeps them as loose rows so constraint handles stay valid)."""
         return len(self._rows)
+
+    def num_constraints(self) -> int:
+        """MOI ``NumberOfConstraints`` analogue: live (non-deleted) rows."""
+        return len(self._rows) - len(self._deleted)
+
+    def num_variables(self) -> int:
+        """MOI ``NumberOfVariables`` analogue."""
+        return self.n
+
+    def _live(self, con: Constraint) -> int:
+        """Validate a constraint handle (MOI InvalidIndex analogue after
+        deletion) and return its row index."""
+        r = con.index
+        if r in self._deleted:
+            raise ValueError(f"constraint {r} was deleted")
+        return r
 
     def set_constraint_bounds(self, con: Constraint, lb: float, ub: float):
         """Set replacement (MOI_wrapper.jl:768-844)."""
-        r = con.index
+        r = self._live(con)
         self._row_lb[r] = float(lb)
         self._row_ub[r] = float(ub)
         if self._cache is not None and not self._needs_setup:
@@ -294,14 +313,14 @@ class Problem:
 
     def set_constraint_constant(self, con: Constraint, constant: float):
         """ScalarConstantChange: refolds into l/u (MOI_wrapper.jl:888-912)."""
-        r = con.index
+        r = self._live(con)
         self._row_const[r] = float(constant)
         self.set_constraint_bounds(con, self._row_lb[r], self._row_ub[r])
 
     def set_constraint_coefficient(self, con: Constraint, var: int,
                                    coef: float):
         """ScalarCoefficientChange on a constraint row."""
-        r = con.index
+        r = self._live(con)
         row = self._rows[r]
         var = int(var)
         in_pattern = var in row
@@ -315,8 +334,11 @@ class Problem:
 
     def delete_constraint(self, con: Constraint):
         """Deletion via tombstoning: the row becomes an empty loose row
-        (handles stay valid; MOI-style deletion semantics at this layer)."""
-        r = con.index
+        (other handles stay valid; the deleted handle itself is invalid
+        afterwards — MOI InvalidIndex semantics). ``num_constraints``
+        excludes tombstoned rows; the solver-facing ``m`` keeps them."""
+        r = self._live(con)
+        self._deleted.add(r)
         self._rows[r] = {}
         self._row_const[r] = 0.0
         self._row_lb[r] = -_INF
@@ -327,7 +349,7 @@ class Problem:
                                 constant: float = 0.0):
         """Function replacement (MOI_wrapper.jl:768-844): allowed in place iff
         the row's sparsity pattern is preserved; otherwise re-setup."""
-        r = con.index
+        r = self._live(con)
         if isinstance(coeffs, dict):
             new_row = {int(i): float(v) for i, v in coeffs.items() if v != 0.0}
         else:
@@ -356,7 +378,7 @@ class Problem:
         """MOI dual-sign convention: stored internally sign-flipped
         (MOI_wrapper.jl:450-494)."""
         self._ensure_setup_for_starts()
-        self._warm.y[con.index] = -float(value)
+        self._warm.y[self._live(con)] = -float(value)
 
     def _ensure_setup_for_starts(self):
         if self._warm is None:
@@ -478,9 +500,10 @@ class Problem:
         sign-flipped primal-infeasibility certificate as a dual ray when
         primal-infeasible (MOI_wrapper.jl:876-885)."""
         r = self._req()
+        idx = self._live(con)
         if self.dual_status() == "INFEASIBILITY_CERTIFICATE":
-            return float(-r.prim_inf_cert[con.index])
-        return float(-r.y[con.index])
+            return float(-r.prim_inf_cert[idx])
+        return float(-r.y[idx])
 
     def duals(self) -> np.ndarray:
         """All constraint duals in the MOI sign convention."""
