@@ -130,7 +130,7 @@ def export_prepared(solver, B: int, path: Optional[str] = None,
     buf = io.BytesIO()
     np.savez(
         buf,
-        magic=np.array(_MAGIC),
+        magic=np.array(_MAGIC), kind=np.array("prepared"),
         exported=np.frombuffer(exported.serialize(), np.uint8),
         B=np.int64(B), n=np.int64(n), m=np.int64(m),
         dtype=np.array(jnp.dtype(dtype).name),
@@ -142,6 +142,121 @@ def export_prepared(solver, B: int, path: Optional[str] = None,
         with open(path, "wb") as f:
             f.write(blob)
     return blob
+
+
+def export_solver(settings, B: int, n: int, m: int,
+                  path: Optional[str] = None,
+                  platforms: Optional[Sequence[str]] = None) -> bytes:
+    """Export a shape-specialized cold solver: the analogue of OSQP
+    codegen's matrix-update mode (embedded mode 2), where P/A values may
+    change between requests (on TPU's dense engines the "sparsity pattern"
+    is the shape, so any same-shape P/A is admissible).
+
+    The artifact's runtime inputs are the full problem
+    ``(P (n,n), A (m,n), q (B,n), l/u (B,m))`` plus warm starts; scaling
+    and factorization run inside the program on every request. Use
+    :func:`export_prepared` when the structure is fixed — it amortizes
+    both across requests.
+    """
+    s = settings
+    if s.time_limit and s.time_limit > 0:
+        raise ValueError(
+            "time_limit uses a host-side chunked driver and cannot be baked "
+            "into an AOT artifact; export with time_limit=0 and enforce "
+            "deadlines in the serving layer")
+    dtype = s.resolve_dtype()
+    B, n, m = int(B), int(n), int(m)
+    dyn = dyn_from_settings(s, dtype)
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    group = _pick_group(B, n, m, jnp.dtype(dtype).itemsize, interpret)
+    do_polish = bool(s.polish)
+
+    from .shared_core import solve_shared as _shared_solve_impl
+
+    def serve_fn(P, A, q, l, u, x0, y0):
+        out = _shared_solve_impl(
+            P, A, q, l, u, dyn, jnp.int32(s.scaling), x0, y0,
+            group=group, interpret=interpret,
+            adaptive=bool(s.adaptive_rho), lowp=bool(s.mixed_precision))
+        if do_polish:
+            from .batch import _batched_polish
+            from .types import QPData
+            data_P = jnp.broadcast_to(P, (B, n, n))
+            data_A = jnp.broadcast_to(A, (B, m, n))
+            out = _batched_polish(
+                QPData(P=data_P, q=q, A=data_A, l=l, u=u), dyn,
+                jnp.int32(s.scaling), jnp.asarray(s.delta, dtype),
+                jnp.int32(s.polish_refine_iter), out)
+        out = _nanfill(out)
+        return (out.x, out.y, out.z, out.status, out.iter, out.obj_val,
+                out.pri_res, out.dua_res, out.status_polish,
+                out.prim_cert, out.dual_cert, out.rho_updates,
+                out.rho_estimate)
+
+    sds = jax.ShapeDtypeStruct
+    args = (sds((n, n), dtype), sds((m, n), dtype),
+            sds((B, n), dtype), sds((B, m), dtype), sds((B, m), dtype),
+            sds((B, n), dtype), sds((B, m), dtype))
+    exported = jax.export.export(
+        jax.jit(serve_fn),
+        platforms=_export_platforms(platforms),
+        disabled_checks=[
+            jax.export.DisabledSafetyCheck.custom_call("tpu_custom_call"),
+            jax.export.DisabledSafetyCheck.custom_call("Sharding"),
+        ],
+    )(*args)
+
+    buf = io.BytesIO()
+    np.savez(
+        buf,
+        magic=np.array(_MAGIC), kind=np.array("solver"),
+        exported=np.frombuffer(exported.serialize(), np.uint8),
+        B=np.int64(B), n=np.int64(n), m=np.int64(m),
+        dtype=np.array(jnp.dtype(dtype).name),
+    )
+    blob = buf.getvalue()
+    if path is not None:
+        with open(path, "wb") as f:
+            f.write(blob)
+    return blob
+
+
+class SolverServer:
+    """Runs a deserialized shape-specialized cold-solver artifact (see
+    :func:`export_solver`): every request carries its own P/A."""
+
+    STATUS = dict(C.STATUS_MAP)
+
+    def __init__(self, exported, meta):
+        self.exported = exported
+        self.B = int(meta["B"])
+        self.n = int(meta["n"])
+        self.m = int(meta["m"])
+        self.dtype = jnp.dtype(str(meta["dtype"]))
+        self._call = jax.jit(exported.call)
+
+    def solve(self, P, A, q, l, u, x0=None, y0=None) -> Results:
+        dt = self.dtype
+        if x0 is None:
+            x0 = jnp.zeros((self.B, self.n), dt)
+        if y0 is None:
+            y0 = jnp.zeros((self.B, self.m), dt)
+        (x, y, z, status, it, obj, pri, dua, st_pol, pcert, dcert,
+         rho_upd, rho_est) = self._call(
+            jnp.asarray(P, dt), jnp.asarray(A, dt), jnp.asarray(q, dt),
+            jnp.asarray(l, dt), jnp.asarray(u, dt),
+            jnp.asarray(x0, dt), jnp.asarray(y0, dt))
+        status = np.asarray(status)
+        info = Info(
+            iter=np.asarray(it), status=np.array(
+                [self.STATUS.get(int(v), "Unsolved") for v in status]),
+            status_val=status, status_polish=np.asarray(st_pol),
+            obj_val=np.asarray(obj), pri_res=np.asarray(pri),
+            dua_res=np.asarray(dua), rho_updates=np.asarray(rho_upd),
+            rho_estimate=np.asarray(rho_est))
+        return Results(x=np.asarray(x), y=np.asarray(y), info=info,
+                       prim_inf_cert=np.asarray(pcert),
+                       dual_inf_cert=np.asarray(dcert))
 
 
 class PreparedServer:
@@ -203,8 +318,10 @@ class PreparedServer:
                        dual_inf_cert=np.asarray(dcert))
 
 
-def load(path_or_bytes) -> PreparedServer:
-    """Deserialize an artifact written by :func:`export_prepared`."""
+def load(path_or_bytes):
+    """Deserialize an artifact written by :func:`export_prepared` (returns
+    a :class:`PreparedServer`) or :func:`export_solver` (returns a
+    :class:`SolverServer`)."""
     if isinstance(path_or_bytes, (bytes, bytearray)):
         buf = io.BytesIO(bytes(path_or_bytes))
         z = np.load(buf, allow_pickle=False)
@@ -213,5 +330,7 @@ def load(path_or_bytes) -> PreparedServer:
     if str(z["magic"]) != _MAGIC:
         raise ValueError("not an osqp_tpu AOT artifact")
     exported = jax.export.deserialize(z["exported"].tobytes())
+    if "kind" in z and str(z["kind"]) == "solver":
+        return SolverServer(exported, z)
     factor = (z["Rinv"], z["rho_vec"], z["rho_inv"], z["rho_bar"])
     return PreparedServer(exported, factor, z)

@@ -147,3 +147,56 @@ def test_time_limit_export_refused():
 def test_unprepared_solver_refused():
     with pytest.raises(ValueError, match="prepare"):
         export_prepared(_prepared_solver(), B=8)
+
+
+def test_export_solver_mode2_matrix_updates(tmp_path):
+    """Shape-specialized artifact (OSQP codegen mode-2 analogue): P/A are
+    runtime inputs, so matrix-value updates need no re-export. Results must
+    match the live shared-engine solver bit-for-bit."""
+    from osqp_tpu.serve import export_solver
+
+    P, q, A, l, u = _problem(seed=21)
+    B, n = q.shape
+    m = l.shape[1]
+    s = Settings(eps_abs=1e-6, eps_rel=1e-6)
+    path = str(tmp_path / "solver.npz")
+    export_solver(s, B=B, n=n, m=m, path=path)
+    server = load(path)
+    live = BatchedSolver(settings=s, kkt_mode="shared")
+
+    res = server.solve(P, A, q, l, u)
+    ref = live.solve(P, q, A, l, u)
+    assert np.all(np.asarray(res.info.status_val) == C.SOLVED)
+    np.testing.assert_allclose(res.x, np.asarray(ref.x), atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(res.info.iter),
+                                  np.asarray(ref.iter))
+
+    # "matrix update": scale P and perturb A — same artifact, new values
+    P2 = 2.0 * P
+    A2 = A + 0.01
+    res2 = server.solve(P2, A2, q, l, u)
+    ref2 = live.solve(P2, q, A2, l, u)
+    assert np.all(np.asarray(res2.info.status_val) == C.SOLVED)
+    np.testing.assert_allclose(res2.x, np.asarray(ref2.x), atol=1e-12)
+    assert np.abs(res2.x - res.x).max() > 1e-3   # the update mattered
+
+
+def test_load_dispatches_on_kind(tmp_path):
+    from osqp_tpu.serve import PreparedServer, SolverServer, export_solver
+
+    P, q, A, l, u = _problem()
+    B, n = q.shape
+    m = l.shape[1]
+    solver = _prepared_solver().prepare(P, A, q=q)
+    b1 = export_prepared(solver, B=B)
+    b2 = export_solver(Settings(), B=B, n=n, m=m)
+    assert isinstance(load(b1), PreparedServer)
+    assert isinstance(load(b2), SolverServer)
+
+
+def test_not_an_artifact_rejected(tmp_path):
+    import io as _io
+    buf = _io.BytesIO()
+    np.savez(buf, magic=np.array("something-else"), exported=np.zeros(4))
+    with pytest.raises(ValueError, match="artifact"):
+        load(buf.getvalue())
