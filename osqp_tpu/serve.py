@@ -289,6 +289,29 @@ class PreparedServer:
         self._factor = tuple(outs[-4:])
         return outs[:-4]
 
+    #: index map for the flat output tuple of :meth:`solve_device`
+    FIELDS = ("x", "y", "z", "status", "iter", "obj_val", "pri_res",
+              "dua_res", "status_polish", "prim_inf_cert", "dual_inf_cert",
+              "rho_updates", "rho_estimate")
+
+    def solve_device(self, q, l, u, x0=None, y0=None):
+        """Hot-loop variant of :meth:`solve`: everything stays on device.
+
+        Accepts device (or host) arrays, returns the flat tuple of DEVICE
+        arrays in :data:`FIELDS` order — no host conversion, so a serving
+        loop that feeds ``x``/``y`` back as the next warm start pays one
+        host round-trip per *downloaded field*, not thirteen. On relayed
+        TPU hosts (~70 ms/round-trip) this is the difference between
+        tunnel-bound and compute-bound serving."""
+        dt = self.dtype
+        if x0 is None:
+            x0 = jnp.zeros((self.B, self.n), dt)
+        if y0 is None:
+            y0 = jnp.zeros((self.B, self.m), dt)
+        return self.call_flat(jnp.asarray(q, dt), jnp.asarray(l, dt),
+                              jnp.asarray(u, dt), jnp.asarray(x0, dt),
+                              jnp.asarray(y0, dt))
+
     def solve(self, q, l, u, x0=None, y0=None) -> Results:
         """Batched re-solve with the baked problem structure. Returns the
         same :class:`osqp_tpu.types.Results`-shaped record as the live

@@ -200,3 +200,28 @@ def test_not_an_artifact_rejected(tmp_path):
     np.savez(buf, magic=np.array("something-else"), exported=np.zeros(4))
     with pytest.raises(ValueError, match="artifact"):
         load(buf.getvalue())
+
+
+def test_solve_device_hot_path_matches_solve():
+    """solve_device returns device arrays identical to solve()'s fields and
+    updates the carried factor the same way."""
+    P, q, A, l, u = _problem(seed=31)
+    B = q.shape[0]
+    solver = _prepared_solver().prepare(P, A, q=q)
+    blob = export_prepared(solver, B=B)
+    s1 = load(blob)
+    s2 = load(blob)
+
+    ref = s1.solve(q, l, u)
+    out = s2.solve_device(q, l, u)
+    assert len(out) == len(PreparedServer.FIELDS)
+    d = dict(zip(PreparedServer.FIELDS, out))
+    np.testing.assert_allclose(np.asarray(d["x"]), ref.x, atol=0)
+    np.testing.assert_array_equal(np.asarray(d["status"]),
+                                  np.asarray(ref.info.status_val))
+    # second request chaining device handles == solve() chaining numpy
+    ref2 = s1.solve(q, l, u, x0=ref.x, y0=ref.y)
+    out2 = s2.solve_device(q, l, u, x0=d["x"], y0=d["y"])
+    np.testing.assert_allclose(np.asarray(out2[0]), ref2.x, atol=0)
+    np.testing.assert_array_equal(np.asarray(out2[4]),
+                                  np.asarray(ref2.info.iter))
