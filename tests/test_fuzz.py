@@ -134,3 +134,37 @@ def test_fuzz_batched_matches_model(seed):
         assert int(out.status[i]) == 1 and r.info.status == "Solved", mode
         np.testing.assert_allclose(np.asarray(out.x[i]), r.x,
                                    atol=100 * eps, err_msg=mode)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_indirect_matches_direct(seed):
+    """Direct vs matrix-free-CG differential under random problems and
+    settings: with the auto budget (min(n+30, 64), round-3 cap) the capped
+    warm-started inner solves must keep the same statuses and solutions as
+    exact factorization (summable-inexactness contract)."""
+    rng = np.random.RandomState(7000 + seed)
+    P, q, A, l, u = random_problem(rng)
+    settings = dict(
+        eps_abs=10.0 ** -rng.randint(5, 7),
+        eps_rel=10.0 ** -rng.randint(5, 7),
+        rho=float(10.0 ** (rng.rand() * 2 - 2)),
+        alpha=float(1.0 + rng.rand() * 0.8),
+        scaling=int(rng.choice([0, 10])),
+        adaptive_rho=bool(rng.rand() < 0.7),
+        check_termination=int(rng.choice([5, 25])),
+        max_iter=20000,
+        verbose=False,
+    )
+    md = osqp.Model()
+    md.setup(P=P, q=q, A=A, l=l, u=u, **settings)
+    rd = md.solve()
+    mi = osqp.Model()
+    mi.setup(P=P, q=q, A=A, l=l, u=u, linsys_solver="indirect", **settings)
+    ri = mi.solve()
+
+    assert ri.info.status == rd.info.status
+    if rd.info.status == "Solved":
+        scale = 1.0 + np.max(np.abs(rd.x))
+        assert np.max(np.abs(ri.x - rd.x)) / scale < 1e-4
+        assert abs(ri.info.obj_val - rd.info.obj_val) \
+            / (1 + abs(rd.info.obj_val)) < 1e-6
