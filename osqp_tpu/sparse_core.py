@@ -120,13 +120,69 @@ _solve_sparse_jit = jax.jit(_solve_sparse_impl,
                             static_argnames=("do_polish",))
 
 
+def _solve_dense_impl(Pd, q, Ad, l, u, dyn, scaling_iters, x0, y0,
+                      do_polish: bool = False, delta=1e-6, refine_iters=3):
+    """Dense direct-factor solve for the routed small-problem path: same
+    semantics as _solve_sparse_impl with exact KKT solves (one Cholesky of
+    the reduced KKT per (re)factorization — the role QDLDL plays for every
+    problem size in the reference)."""
+    from .core import scale_problem
+    from .polish import polish as _polish_fn
+    from .types import QPData as _QPData
+
+    data = _QPData(P=Pd, q=q, A=Ad, l=l, u=u)
+    sdata, scal = scale_problem(data, scaling_iters)
+    xb = scal.Dinv * x0
+    yb = scal.c * scal.Einv * y0
+    zb = sdata.A @ xb
+    fs = init_factor(sdata, dyn.sigma, dyn.rho_bar, indirect=False)
+    out, _ = solve_scaled(sdata, scal, dyn, xb, yb, zb, fs, linsys="direct")
+    if do_polish:
+        pol = _polish_fn(sdata, scal, dyn, delta, refine_iters, out.ybar,
+                         out.pri_res, out.dua_res, indirect=False)
+        ok = pol.success & (out.status == C.SOLVED)
+        out = out._replace(
+            x=jnp.where(ok, pol.x, out.x),
+            y=jnp.where(ok, pol.y, out.y),
+            z=jnp.where(ok, pol.z, out.z),
+            obj_val=jnp.where(ok, pol.obj_val, out.obj_val),
+            pri_res=jnp.where(ok, pol.pri_res, out.pri_res),
+            dua_res=jnp.where(ok, pol.dua_res, out.dua_res),
+            status_polish=jnp.where(out.status == C.SOLVED,
+                                    jnp.where(ok, 1, -1), 0).astype(jnp.int32))
+    return out
+
+
+_solve_dense_jit = jax.jit(_solve_dense_impl,
+                           static_argnames=("do_polish",))
+
+#: Routing gate for the direct (dense-factor) mode: densified operators must
+#: stay under this many bytes and n under the Cholesky-comfortable bound.
+#: Beyond it, the matrix-free CG path is the only option — that is its
+#: domain (n ~ 1e4-1e5+). Rationale: the reference solves EVERY size with a
+#: direct factorization (QDLDL); a conformance-sized problem fed through
+#: this API in sparse format should get direct-factor economics too, not
+#: Jacobi-CG iterations (measured: ill-conditioned 250x400 dense-as-sparse,
+#: 28.9 s matrix-free vs 2.1 s direct at identical results).
+_DENSE_ROUTE_BYTES = 64 * 1024 * 1024
+_DENSE_ROUTE_N = 2048
+
+
 class SparseModel:
-    """Large sparse QP solver (scipy.sparse / COO input, matrix-free CG).
+    """Sparse-input QP solver (scipy.sparse / COO input).
 
     API-compatible subset of :class:`osqp_tpu.Model`: setup / solve /
     warm_start / update (q, l, u, and value-only Px/Ax with optional index
     subsets — the full reference update surface; pattern immutable) /
     update_settings.
+
+    Two linear-system modes, routed like the reference's always-direct
+    QDLDL but bounded by what a dense factor affords (see :meth:`setup`):
+    a dense reduced-KKT Cholesky for problems up to n ~ 2e3 (exact direct
+    economics at conformance sizes), and the matrix-free
+    Jacobi-preconditioned CG path for the large regime (n ~ 1e4-1e5+,
+    BCOO/ELL operators, O(nnz) per step) — also selected explicitly with
+    ``linsys_solver="indirect"`` and always used under ``mesh`` sharding.
     With ``polish=True`` the polish step runs matrix-free: the reduced
     active-set system is solved by Jacobi-preconditioned CG (no factorization
     exists on this path), same acceptance rule as the dense polish.
@@ -144,7 +200,19 @@ class SparseModel:
 
     def setup(self, P=None, q=None, A=None, l=None, u=None, **settings):
         """Ingest scipy.sparse P (full symmetric or upper triangle) and A;
-        ``sparse_format`` in settings selects auto|padded|bcoo operators."""
+        ``sparse_format`` in settings selects auto|padded|bcoo operators.
+
+        Linear-system routing (reference ``linsys_solver`` semantics,
+        interface.jl:749-773): the default ("qdldl") means a DIRECT
+        factorization, which the reference applies at every problem size.
+        Here that maps to a dense reduced-KKT Cholesky whenever the
+        densified operators are affordable (n <= 2048 and <= 64 MB) — the
+        MXU-native direct method; past that bound the engine transparently
+        uses the matrix-free CG path, which is also selectable explicitly
+        with ``linsys_solver="indirect"`` (and is forced by ``mesh=`` row
+        sharding, which only the matrix-free operators support)."""
+        explicit_indirect = str(settings.get("linsys_solver", "")
+                                ).lower() == "indirect"
         fmt = settings.pop("sparse_format", "auto")
         if fmt == "auto":
             # ELL/padded gathers suit the TPU; BCOO's segment ops are faster
@@ -190,6 +258,12 @@ class SparseModel:
                     "(the problem is non-convex)")
         if self._mesh is not None and fmt != "padded":
             raise ValueError("mesh sharding requires sparse_format='padded'")
+        # direct-vs-indirect routing (see setup docstring). itemsize of the
+        # resolved dtype decides the byte gate.
+        dense_bytes = (n * n + m * n) * jnp.dtype(dtype).itemsize
+        self._direct = (not explicit_indirect and self._mesh is None
+                        and n <= _DENSE_ROUTE_N
+                        and dense_bytes <= _DENSE_ROUTE_BYTES)
         # canonical CSC copies kept for the value-only update contract
         # (interface.jl:315-406: Px/Ax in the setup patterns' nnz order)
         Pu_csc = Pu.tocsc().copy()
@@ -237,6 +311,12 @@ class SparseModel:
         dtype = self._dtype
         Pu = self._Pu_csc
         Psym = (Pu + Pu.T - _sp.diags(Pu.diagonal())).tocsc()
+        if getattr(self, "_direct", False):
+            # routed dense-direct mode: device operands are the densified
+            # matrices; no sparse ops are built (nothing would use them)
+            self._P_dense = jnp.asarray(Psym.toarray(), dtype)
+            self._A_dense = jnp.asarray(self._A_csc.toarray(), dtype)
+            return
         Pc = _sp.coo_matrix(Psym)
         Ac = _sp.coo_matrix(self._A_csc)
         self._P_op = self._make(Pc.row, Pc.col, Pc.data, (n, n), dtype)
@@ -358,6 +438,12 @@ class SparseModel:
         dyn = resolve_cg_cap(dyn_from_settings(s, self._dtype), s, self.n)
 
         def _run(dyn_c, x0, y0, polish):
+            if self._direct:
+                return _solve_dense_jit(
+                    self._P_dense, self._q, self._A_dense, self._l, self._u,
+                    dyn_c, jnp.int32(s.scaling), x0, y0, do_polish=polish,
+                    delta=jnp.asarray(s.delta, self._dtype),
+                    refine_iters=jnp.int32(s.polish_refine_iter))
             return _solve_sparse_jit(
                 self._P_op, self._q, self._A_op, self._l, self._u, dyn_c,
                 jnp.int32(s.scaling), x0, y0, do_polish=polish,

@@ -22,9 +22,12 @@ def make_sparse_problem(n=80, m=160, density=0.05, seed=0):
 
 
 def test_sparse_matches_dense():
+    # the matrix-free engine is the subject; the routed default is covered
+    # by test_sparse_routing_direct_matches_indirect
     P, q, A, l, u = make_sparse_problem()
     sm = SparseModel().setup(P=P, q=q, A=A, l=l, u=u, verbose=False,
-                             eps_abs=1e-6, eps_rel=1e-6)
+                             eps_abs=1e-6, eps_rel=1e-6,
+                             linsys_solver="indirect")
     rs = sm.solve()
     assert rs.info.status == "Solved"
 
@@ -74,10 +77,12 @@ def test_sparse_large_lasso_style():
 
 
 def test_sparse_polish():
+    # matrix-free (CG) polish is the subject — force the indirect path
     # matrix-free polish: CG on the masked reduced system
     P, q, A, l, u = make_sparse_problem(seed=12)
     sm = SparseModel().setup(P=P, q=q, A=A, l=l, u=u, verbose=False,
-                             eps_abs=1e-3, eps_rel=1e-3, polish=True)
+                             eps_abs=1e-3, eps_rel=1e-3, polish=True,
+                             linsys_solver="indirect")
     r = sm.solve()
     assert r.info.status == "Solved"
     assert r.info.status_polish == 1
@@ -105,7 +110,10 @@ def test_sparse_accepts_triu_P():
 
 def test_padded_format_matches_bcoo():
     P, q, A, l, u = make_sparse_problem(seed=5)
-    kw = dict(verbose=False, eps_abs=1e-6, eps_rel=1e-6)
+    # operator formats exist only on the matrix-free path; force it (the
+    # default routes problems this small to the dense direct factor)
+    kw = dict(verbose=False, eps_abs=1e-6, eps_rel=1e-6,
+              linsys_solver="indirect")
     rp = SparseModel().setup(P=P, q=q, A=A, l=l, u=u,
                              sparse_format="padded", **kw).solve()
     rb = SparseModel().setup(P=P, q=q, A=A, l=l, u=u,
@@ -230,3 +238,65 @@ def test_sparse_update_P_A_values_differential():
     # non-convex P update refused (matrix-free refactorization analogue)
     with pytest.raises(ValueError, match="non-convex"):
         mdl.update(Px=-10.0 * np.abs(P2.data))
+
+
+def test_sparse_routing_direct_matches_indirect():
+    """Default routing (reference always-direct semantics at affordable
+    sizes): small problems get the dense direct factor; results must agree
+    with the forced matrix-free path and the dense Model."""
+    P, q, A, l, u = make_sparse_problem(seed=17)
+    kw = dict(verbose=False, eps_abs=1e-8, eps_rel=1e-8)
+    sd = SparseModel().setup(P=P, q=q, A=A, l=l, u=u, **kw)
+    assert sd._direct                       # routed to the dense factor
+    si = SparseModel().setup(P=P, q=q, A=A, l=l, u=u,
+                             linsys_solver="indirect", **kw)
+    assert not si._direct
+    rd = sd.solve()
+    ri = si.solve()
+    assert rd.info.status == ri.info.status == "Solved"
+    np.testing.assert_allclose(rd.x, ri.x, atol=1e-5)
+
+    dm = osqp.Model()
+    dm.setup(P=P.toarray(), q=q, A=A.toarray(), l=l, u=u, **kw)
+    rm = dm.solve()
+    # routed direct == dense Model exactly (same algorithm, same factor)
+    assert rd.info.iter == rm.info.iter
+    np.testing.assert_allclose(rd.x, rm.x, atol=1e-10)
+
+
+def test_sparse_routing_respects_size_gate():
+    """Past the dense gate the default stays matrix-free; mesh sharding
+    forces matrix-free regardless."""
+    from osqp_tpu import sparse_core as sc
+    P, q, A, l, u = make_sparse_problem(seed=3)
+    old_n = sc._DENSE_ROUTE_N
+    try:
+        sc._DENSE_ROUTE_N = 4          # pretend the problem is huge
+        sm = SparseModel().setup(P=P, q=q, A=A, l=l, u=u, verbose=False)
+        assert not sm._direct
+        assert sm.solve().info.status == "Solved"
+    finally:
+        sc._DENSE_ROUTE_N = old_n
+
+
+def test_sparse_routed_update_and_polish():
+    """The routed direct mode keeps the full update/polish/warm-start
+    surface: value-only P updates re-densify and match a fresh setup."""
+    P, q, A, l, u = make_sparse_problem(seed=23)
+    kw = dict(verbose=False, eps_abs=1e-8, eps_rel=1e-8, polish=True)
+    sm = SparseModel().setup(P=P, q=q, A=A, l=l, u=u, **kw)
+    assert sm._direct
+    r1 = sm.solve()
+    assert r1.info.status == "Solved" and r1.info.status_polish == 1
+
+    import scipy.sparse as ssp
+    Pu = ssp.triu(ssp.csc_matrix(P)).tocsc()
+    Pu.sort_indices()
+    new_vals = Pu.data * 2.0
+    sm.update(Px=new_vals)
+    r2 = sm.solve()
+    fresh = SparseModel().setup(P=2.0 * ssp.csc_matrix(P), q=q, A=A,
+                                l=l, u=u, **kw)
+    r3 = fresh.solve()
+    np.testing.assert_allclose(r2.x, r3.x, atol=1e-7)
+    assert abs(r2.info.obj_val - r3.info.obj_val) < 1e-7
