@@ -134,6 +134,8 @@ def export_prepared(solver, B: int, path: Optional[str] = None,
         exported=np.frombuffer(exported.serialize(), np.uint8),
         B=np.int64(B), n=np.int64(n), m=np.int64(m),
         dtype=np.array(jnp.dtype(dtype).name),
+        jax_version=np.array(jax.__version__),
+        platforms=np.array(",".join(exported.platforms)),
         Rinv=np.asarray(fac0.Rinv), rho_vec=np.asarray(fac0.rho_vec),
         rho_inv=np.asarray(fac0.rho_inv), rho_bar=np.asarray(fac0.rho_bar),
     )
@@ -213,6 +215,8 @@ def export_solver(settings, B: int, n: int, m: int,
         exported=np.frombuffer(exported.serialize(), np.uint8),
         B=np.int64(B), n=np.int64(n), m=np.int64(m),
         dtype=np.array(jnp.dtype(dtype).name),
+        jax_version=np.array(jax.__version__),
+        platforms=np.array(",".join(exported.platforms)),
     )
     blob = buf.getvalue()
     if path is not None:
@@ -352,6 +356,16 @@ def load(path_or_bytes):
         z = np.load(path_or_bytes, allow_pickle=False)
     if str(z["magic"]) != _MAGIC:
         raise ValueError("not an osqp_tpu AOT artifact")
+    if "platforms" in z:
+        plats = str(z["platforms"]).split(",")
+        backend = jax.default_backend()
+        eff = "tpu" if backend == "axon" else backend
+        if eff not in plats:
+            import warnings
+            warnings.warn(
+                f"artifact was exported for platforms {plats} but the "
+                f"current backend is '{eff}'; the call will fail unless a "
+                f"matching device is selected", stacklevel=2)
     exported = jax.export.deserialize(z["exported"].tobytes())
     if "kind" in z and str(z["kind"]) == "solver":
         return SolverServer(exported, z)

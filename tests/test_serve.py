@@ -225,3 +225,25 @@ def test_solve_device_hot_path_matches_solve():
     np.testing.assert_allclose(np.asarray(out2[0]), ref2.x, atol=0)
     np.testing.assert_array_equal(np.asarray(out2[4]),
                                   np.asarray(ref2.info.iter))
+
+
+def test_artifact_metadata_and_platform_warning():
+    P, q, A, l, u = _problem(seed=41)
+    B = q.shape[0]
+    solver = _prepared_solver().prepare(P, A, q=q)
+    blob = export_prepared(solver, B=B)
+    z = np.load(__import__("io").BytesIO(blob), allow_pickle=False)
+    assert str(z["jax_version"]) == jax.__version__
+    assert jax.default_backend() in str(z["platforms"]).split(",")
+
+    # an artifact exported for a different platform warns at load
+    import io as _io
+    import warnings
+    buf = _io.BytesIO()
+    d = {k: z[k] for k in z.files}
+    d["platforms"] = np.array("notaplatform")
+    np.savez(buf, **d)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        load(buf.getvalue())
+    assert any("exported for platforms" in str(x.message) for x in w)
