@@ -249,6 +249,15 @@ class BatchedSolver:
                                adaptive=adaptive, lowp=lowp),
             static_argnames=("group", "interpret", "adaptive", "lowp"))
 
+    def update_settings(self, **kwargs):
+        """Post-construction settings update (reference interface.jl:442-670
+        semantics, completing the engine-parity surface): validates against
+        UPDATABLE_SETTINGS. All updatable settings are traced parameters
+        (``DynParams``), so no recompilation is triggered; a ``rho`` change
+        flows into the next solve's parameter bundle (prepared workspaces
+        refactor in-jit when the carried rho disagrees)."""
+        self.settings.update_inplace(**kwargs)
+
     def solve(self, Pm, q, A, l, u, x0=None, y0=None,
               rho0=None) -> SolveOutput:
         """Solve the batch. ``Pm``/``A`` may be (n,n)/(m,n) shared or

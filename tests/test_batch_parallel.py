@@ -365,3 +365,23 @@ def test_shared_accurate_classification_at_max_iter():
     # every lane converged by cap but the last in-kernel check was at
     # 30*floor(cap/30) < k for at least the slowest lane
     assert np.all((st == _C.SOLVED)), st
+
+
+def test_batched_update_settings():
+    """update_settings parity on the batched engine: UPDATABLE gate +
+    no-recompile application through the traced parameter bundle."""
+    import pytest
+    from osqp_tpu.settings import Settings
+
+    P, q, A, l, u = make_batch(4, 6, 9, seed=2)
+    solver = BatchedSolver(settings=Settings(eps_abs=1e-4, eps_rel=1e-4,
+                                             verbose=False))
+    out0 = solver.solve(P, q, A, l, u)
+    assert (np.asarray(out0.status) == 1).all()
+    with pytest.raises(ValueError, match="cannot be updated"):
+        solver.update_settings(scaling=0)
+    solver.update_settings(eps_abs=1e-7, eps_rel=1e-7, max_iter=20000)
+    out1 = solver.solve(P, q, A, l, u)
+    assert (np.asarray(out1.status) == 1).all()
+    assert float(np.asarray(out1.pri_res).max()) <= 1e-6
+    assert np.asarray(out1.iter).max() >= np.asarray(out0.iter).max()

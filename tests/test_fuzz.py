@@ -168,3 +168,32 @@ def test_fuzz_indirect_matches_direct(seed):
         assert np.max(np.abs(ri.x - rd.x)) / scale < 1e-4
         assert abs(ri.info.obj_val - rd.info.obj_val) \
             / (1 + abs(rd.info.obj_val)) < 1e-6
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_fuzz_sparse_routing_differential(seed):
+    """SparseModel's routed dense-direct default vs its forced matrix-free
+    path on random sparse problems: statuses and solutions must agree."""
+    import scipy.sparse as sp
+    from osqp_tpu.sparse_core import SparseModel
+
+    rng = np.random.RandomState(9000 + seed)
+    n = int(rng.randint(10, 60))
+    m = int(rng.randint(10, 90))
+    density = float(0.05 + 0.3 * rng.rand())
+    Ph = sp.random(n, n, density=density, random_state=rng, format="csc")
+    P = (Ph.T @ Ph + (0.1 + rng.rand()) * sp.eye(n)).tocsc()
+    q = rng.randn(n)
+    A = (sp.random(m, n, density=density, random_state=rng, format="csc")
+         + 0.01 * sp.eye(m, n)).tocsc()
+    c = rng.randn(m) * 0.2
+    w = 0.5 + rng.rand(m)
+    l, u = c - w, c + w
+    kw = dict(verbose=False, eps_abs=1e-7, eps_rel=1e-7, max_iter=20000,
+              polish=bool(rng.rand() < 0.5))
+    rd = SparseModel().setup(P=P, q=q, A=A, l=l, u=u, **kw).solve()
+    ri = SparseModel().setup(P=P, q=q, A=A, l=l, u=u,
+                             linsys_solver="indirect", **kw).solve()
+    assert rd.info.status == ri.info.status == "Solved"
+    scale = 1.0 + np.max(np.abs(rd.x))
+    assert np.max(np.abs(rd.x - ri.x)) / scale < 1e-4
