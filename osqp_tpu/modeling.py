@@ -371,6 +371,9 @@ class Problem:
         """VariablePrimalStart for all variables."""
         self._ensure_setup_for_starts()
         values = np.asarray(values, dtype=np.float64).ravel()
+        if values.shape[0] != self.n:
+            raise ValueError(
+                f"primal start must have length n = {self.n}")
         for i in range(self.n):
             self._warm.x[i] = values[i]
 

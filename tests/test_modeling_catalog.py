@@ -739,3 +739,53 @@ def test_inverted_interval_rejected():
     pr.add_constraint({0: 1.0}, lb=2.0, ub=1.0)
     with pytest.raises(ValueError, match="lower|l must"):
         pr.optimize()
+
+
+def test_primal_start_wrong_length_rejected():
+    pr = Problem(**KW)
+    pr.add_variables(2)
+    pr.set_objective(quadratic={(0, 0): 2.0, (1, 1): 2.0})
+    pr.add_constraint({0: 1.0}, ub=1.0)
+    with pytest.raises(ValueError):
+        pr.set_primal_start([1.0, 2.0, 3.0])
+
+
+def test_infeasible_min_objective_plus_inf():
+    # reference obj convention for a primal-infeasible MIN problem: +inf
+    # (core sets obj=+inf on the certificate path); the user-facing
+    # objective keeps the sign through the sense plumbing
+    pr = Problem(**KW)
+    pr.add_variable()
+    pr.set_objective(quadratic={(0, 0): 2.0})
+    pr.add_constraint({0: 1.0}, ub=1.0)
+    pr.add_constraint({0: 1.0}, lb=2.0)        # x <= 1 and x >= 2
+    pr.optimize()
+    assert pr.termination_status() in ("INFEASIBLE", "ALMOST_INFEASIBLE")
+    assert math.isinf(pr.objective_value()) and pr.objective_value() > 0
+
+
+def test_iteration_limit_termination_mapping():
+    pr = Problem(max_iter=1, check_termination=0, verbose=False,
+                 adaptive_rho=False, eps_abs=1e-12, eps_rel=1e-12)
+    pr.add_variable()
+    pr.set_objective(quadratic={(0, 0): 2.0}, affine={0: -2.0})
+    pr.add_constraint({0: 1.0}, ub=5.0)
+    pr.optimize()
+    assert pr.termination_status() == "ITERATION_LIMIT"
+    assert pr.raw_status() == "Max_iter_reached"
+
+
+def test_time_limit_termination_mapping():
+    pr = Problem(time_limit=1e-9, max_iter=2000000, verbose=False)
+    pr.add_variables(30)
+    import numpy as _np
+    rng = _np.random.RandomState(0)
+    M = rng.randn(30, 30)
+    pr.set_objective(quadratic=M @ M.T + _np.eye(30),
+                     affine=rng.randn(30))
+    for i in range(30):
+        pr.add_constraint({i: 1.0}, lb=-1.0, ub=1.0)
+    pr.optimize()
+    assert pr.termination_status() in ("TIME_LIMIT", "OPTIMAL")
+    if pr.termination_status() == "TIME_LIMIT":
+        assert pr.raw_status() == "Time_limit_reached"
