@@ -235,17 +235,25 @@ def main():
     # solves dominated by dispatch) ----
     def mfu_for_shape(B2, n2, m2):
         P2, q2, A2, l2, u2 = make_batch(B2, n2, m2, seed=3)
-        sol2 = BatchedSolver(settings=settings, kkt_mode="shared")
+        # exact-length kernel-rate phase (the public-API equivalent of the
+        # scripts/bench_shapes.py raw-kernel sweep): check_termination=0
+        # runs exactly max_iter iterations (reference contract,
+        # test/basic.jl:171), adaptive_rho off so the carried factor never
+        # shortens later solves (with it on, the adapted rho converges
+        # cold starts in ~26 iterations at n=256 — great for serving,
+        # wrong for a kernel-rate denominator).
+        K2 = 150
+        s2 = Settings(eps_abs=1e-3, eps_rel=1e-3, polish=False,
+                      verbose=False, dtype=np.float32, adaptive_rho=False,
+                      check_termination=0, max_iter=K2)
+        sol2 = BatchedSolver(settings=s2, kkt_mode="shared")
         sol2.prepare(P2, A2, q=q2)
         q2d, l2d, u2d = (jnp.asarray(v) for v in (q2, l2, u2))
         o2 = sol2.solve_prepared(q2d, l2d, u2d)  # compile + seed factor
         jax.block_until_ready(o2.x)
         q2s = [q2d + 0.003 * (j + 1) for j in range(R_HI)]
         jax.block_until_ready(q2s[-1])
-        # iteration count from a post-seed solve: the carried factor/rho is
-        # in its steady state, matching the chained timed solves below
-        o2 = sol2.solve_prepared(q2s[0], l2d, u2d)
-        it2 = float(np.asarray(o2.iter).sum())
+        it2 = float(B2) * K2
 
         def chained2(R):
             t0 = time.perf_counter()
