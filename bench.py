@@ -242,7 +242,11 @@ def main():
         # shortens later solves (with it on, the adapted rho converges
         # cold starts in ~26 iterations at n=256 — great for serving,
         # wrong for a kernel-rate denominator).
-        K2 = 150
+        # K=600 amortizes relay dispatch jitter 4x vs a convergent-length
+        # solve: measured (n=256, three full slope reps) 27.0-27.2 TFLOP/s
+        # — <2% spread where the K=150 variant wandered 54-83% of peak
+        # between runs on a congested tunnel.
+        K2 = 600
         s2 = Settings(eps_abs=1e-3, eps_rel=1e-3, polish=False,
                       verbose=False, dtype=np.float32, adaptive_rho=False,
                       check_termination=0, max_iter=K2)
@@ -268,6 +272,10 @@ def main():
         tf2 = it2 * fl2 / t2 / 1e12
         return 100 * tf2 / (197.0 / 3.0), 100 * tf2 / chip_peak_tflops, B2 / t2
 
+    mfu_128, mfu_128_chip, qps_128 = mfu_for_shape(4096, 128, 256)
+    log(f"shape (4096,128,256) prepared: MFU(f32) {mfu_128:.2f}% "
+        f"(vs measured peak {mfu_128_chip:.2f}%), {qps_128:.0f} QP/s "
+        f"[exact-length kernel rate at the headline shape]")
     mfu_256, mfu_256_chip, qps_256 = mfu_for_shape(1024, 256, 512)
     log(f"shape (1024,256,512) prepared: MFU(f32) {mfu_256:.2f}% "
         f"(vs measured peak {mfu_256_chip:.2f}%), {qps_256:.0f} QP/s")
@@ -395,12 +403,15 @@ def main():
         "chip_peak_f32_tflops": round(chip_peak_tflops, 2),
         "chip_peak_default_tflops": round(chip_peak_def_tflops, 2),
         "mfu_vs_chip_pct": round(100 * mfu_vs_chip, 3),
+        "mfu_n128_pct": round(mfu_128, 3),
+        "mfu_n128_vs_chip_pct": round(mfu_128_chip, 3),
+        "qps_n128_kernel": round(qps_128, 1),
         "mfu_n256_pct": round(mfu_256, 3),
         "mfu_n256_vs_chip_pct": round(mfu_256_chip, 3),
-        "qps_n256": round(qps_256, 1),
+        "qps_n256_kernel": round(qps_256, 1),
         "mfu_n512_pct": round(mfu_512, 3),
         "mfu_n512_vs_chip_pct": round(mfu_512_chip, 3),
-        "qps_n512": round(qps_512, 1),
+        "qps_n512_kernel": round(qps_512, 1),
     }))
 
 
