@@ -197,6 +197,19 @@ class Model:
         self._ybar = jnp.zeros((self.m,), dtype)
         self._zbar = jnp.zeros((self.m,), dtype)
 
+    def clean(self):
+        """Release the workspace (reference ``OSQP.clean!``,
+        interface.jl:223-233). The functional engine holds no foreign
+        resources — the device arrays are dropped for the GC — but the
+        lifecycle contract is preserved: after ``clean()`` the model is
+        empty and ``solve()`` errors until the next ``setup()``."""
+        for attr in ("_sdata", "_scal", "_fs", "_xbar", "_ybar", "_zbar",
+                     "_q_np", "_l_np", "_u_np"):
+            if hasattr(self, attr):
+                delattr(self, attr)
+        self._is_setup = False
+        return self
+
     # ------------------------------------------------------------------ solve
     def solve(self) -> Results:
         """Run ADMM (+ optional polish); package Results with the reference's

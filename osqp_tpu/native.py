@@ -310,6 +310,13 @@ class NativeModel:
         if self._h is None:
             raise RuntimeError("Model is empty: call setup() first")
 
+    def clean(self):
+        """Explicitly free the C++ workspace (reference ``OSQP.clean!``,
+        interface.jl:223-233; also runs from the GC finalizer). The model
+        is empty afterwards until the next ``setup()``."""
+        self.__del__()
+        return self
+
     def __del__(self):
         if getattr(self, "_h", None) is not None:
             try:

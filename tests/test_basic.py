@@ -228,3 +228,25 @@ def test_osqp_python_alias():
     P, q, A, l, u = basic_problem()
     prob.setup(P=P, q=q, A=A, l=l, u=u, **basic_options())
     assert prob.solve().info.status == "Solved"
+
+
+def test_clean_lifecycle():
+    """OSQP.clean! parity (reference interface.jl:223-233): after clean()
+    the model is empty — solving errors until the next setup()."""
+    import pytest
+    P, q, A, l, u = basic_problem()
+    m = osqp.Model().setup(P=P, q=q, A=A, l=l, u=u, verbose=False)
+    assert m.solve().info.status == "Solved"
+    m.clean()
+    with pytest.raises(RuntimeError, match="empty"):
+        m.solve()
+    m.setup(P=P, q=q, A=A, l=l, u=u, verbose=False)   # reusable after clean
+    assert m.solve().info.status == "Solved"
+
+    from osqp_tpu.native import NativeModel
+    nm = NativeModel()
+    nm.setup(P=P, q=q, A=A, l=l, u=u, verbose=False)
+    assert nm.solve().info.status == "Solved"
+    nm.clean()
+    with pytest.raises(RuntimeError, match="empty"):
+        nm.solve()
