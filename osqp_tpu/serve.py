@@ -271,6 +271,11 @@ class PreparedServer:
     Self-contained at runtime: needs jax but not osqp_tpu (this class is a
     convenience handle; the raw :class:`jax.export.Exported` in ``.exported``
     can be driven directly — see ``call_flat``).
+
+    Concurrency: the carried factor state is plain instance state, updated
+    per call — one ``PreparedServer`` per serving thread (or wrap calls in
+    a lock). The deserialized ``Exported`` itself is immutable and may be
+    shared; ``load()`` on the same bytes is cheap.
     """
 
     #: status-code -> string, inlined so artifact consumers don't need
