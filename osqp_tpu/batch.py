@@ -254,9 +254,21 @@ class BatchedSolver:
         semantics, completing the engine-parity surface): validates against
         UPDATABLE_SETTINGS. All updatable settings are traced parameters
         (``DynParams``), so no recompilation is triggered; a ``rho`` change
-        flows into the next solve's parameter bundle (prepared workspaces
-        refactor in-jit when the carried rho disagrees)."""
+        flows into the next solve's parameter bundle. On a prepared
+        workspace the carried factor's adaptively-tuned rho normally wins
+        (persistent-workspace semantics), so a ``rho`` update additionally
+        resets the carried ``rho_bar`` and zeroes the cached rho vector —
+        the next :meth:`solve_prepared` refactors in-jit at the new rho,
+        matching the reference's osqp_update_rho refactorization
+        (interface.jl:540-556)."""
         self.settings.update_inplace(**kwargs)
+        if "rho" in kwargs and hasattr(self, "_prep"):
+            f = self._prep["factor"]
+            dtype = self.settings.resolve_dtype()
+            self._prep["factor"] = f._replace(
+                rho_bar=jnp.asarray(float(kwargs["rho"]), dtype),
+                rho_vec=jnp.zeros_like(f.rho_vec),
+                rho_inv=jnp.zeros_like(f.rho_inv))
 
     def solve(self, Pm, q, A, l, u, x0=None, y0=None,
               rho0=None) -> SolveOutput:

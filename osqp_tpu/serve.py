@@ -49,6 +49,24 @@ def _export_platforms(platforms):
     return ["tpu"] if backend in ("tpu", "axon") else [backend]
 
 
+def _platform_mode(platforms):
+    """Resolve (platforms, interpret) for an export.
+
+    The kernel mode must match the platforms the artifact TARGETS, not the
+    host doing the exporting: a 'tpu' artifact embeds Mosaic
+    (tpu_custom_call) kernels, anything else embeds interpret-mode kernels
+    that run on any backend. Mixing 'tpu' with other platforms in one
+    artifact is impossible for the same reason."""
+    plats = _export_platforms(platforms)
+    has_tpu = "tpu" in plats
+    if has_tpu and len(plats) > 1:
+        raise ValueError(
+            "a 'tpu' artifact embeds Mosaic kernels that only run on TPU; "
+            "export separate artifacts per platform instead of "
+            f"platforms={plats}")
+    return plats, (not has_tpu)
+
+
 def export_prepared(solver, B: int, path: Optional[str] = None,
                     platforms: Optional[Sequence[str]] = None) -> bytes:
     """Export a prepared :class:`osqp_tpu.batch.BatchedSolver` as an AOT
@@ -79,7 +97,9 @@ def export_prepared(solver, B: int, path: Optional[str] = None,
     m = int(p["A"].shape[0])
     B = int(B)
     dyn = dyn_from_settings(s, dtype)
-    interpret = jax.default_backend() not in ("tpu", "axon")
+    # kernel mode follows the TARGET platforms, not the exporting host
+    # (exporting on CPU for ['tpu'] must embed Mosaic kernels + TPU tiling)
+    plats, interpret = _platform_mode(platforms)
     group = _pick_group(B, n, m, jnp.dtype(dtype).itemsize, interpret)
     Pb, Ab, scal = p["Pb"], p["Ab"], p["scal"]
     do_polish = bool(s.polish)
@@ -115,7 +135,7 @@ def export_prepared(solver, B: int, path: Optional[str] = None,
             sds((), dtype))
     exported = jax.export.export(
         jax.jit(serve_fn),
-        platforms=_export_platforms(platforms),
+        platforms=plats,
         # the shared engine's iteration kernel lowers to a Mosaic TPU custom
         # call on hardware; its forward-compatibility window is managed by
         # the jax/libtpu pairing, not the StableHLO versioning this check
@@ -169,7 +189,7 @@ def export_solver(settings, B: int, n: int, m: int,
     dtype = s.resolve_dtype()
     B, n, m = int(B), int(n), int(m)
     dyn = dyn_from_settings(s, dtype)
-    interpret = jax.default_backend() not in ("tpu", "axon")
+    plats, interpret = _platform_mode(platforms)
     group = _pick_group(B, n, m, jnp.dtype(dtype).itemsize, interpret)
     do_polish = bool(s.polish)
 
@@ -201,7 +221,7 @@ def export_solver(settings, B: int, n: int, m: int,
             sds((B, n), dtype), sds((B, m), dtype))
     exported = jax.export.export(
         jax.jit(serve_fn),
-        platforms=_export_platforms(platforms),
+        platforms=plats,
         disabled_checks=[
             jax.export.DisabledSafetyCheck.custom_call("tpu_custom_call"),
             jax.export.DisabledSafetyCheck.custom_call("Sharding"),

@@ -211,8 +211,6 @@ class SparseModel:
         uses the matrix-free CG path, which is also selectable explicitly
         with ``linsys_solver="indirect"`` (and is forced by ``mesh=`` row
         sharding, which only the matrix-free operators support)."""
-        explicit_indirect = str(settings.get("linsys_solver", "")
-                                ).lower() == "indirect"
         fmt = settings.pop("sparse_format", "auto")
         if fmt == "auto":
             # ELL/padded gathers suit the TPU; BCOO's segment ops are faster
@@ -223,6 +221,10 @@ class SparseModel:
             raise ValueError("sparse_format must be 'auto', 'padded' or "
                              "'bcoo'")
         self.settings = Settings.from_kwargs(**settings)
+        # Route off the COERCED constant, not the raw kwarg string, so the
+        # "cg" alias and the int constant select the matrix-free path exactly
+        # like the dense Model does (interface.py linsys routing).
+        explicit_indirect = self.settings.linsys_solver == C.INDIRECT_SOLVER
         dtype = self.settings.resolve_dtype()
         if _sp is None or not (_sp.issparse(P) and _sp.issparse(A)):
             raise ValueError("SparseModel requires scipy.sparse P and A")

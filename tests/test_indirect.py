@@ -98,6 +98,39 @@ def test_auto_cg_budget_and_tolerance():
     np.testing.assert_allclose(r2.x, r1.x, rtol=1e-6, atol=1e-8)
 
 
+def test_capped_auto_budget_matches_uncapped_at_large_n():
+    """Differential pin for the CAPPED auto-CG regime (round-3 advisor):
+    at n in the several-hundred range the auto budget min(n+30, 64) binds
+    hard (64 << n+30), which the small-n fuzz never exercises. The
+    summable-inexactness contract says the capped run must still land on
+    the same status/solution as an explicit uncapped budget (n+30) and as
+    the direct factorization."""
+    kw = dict(eps_abs=1e-6, eps_rel=1e-6, max_iter=20000, verbose=False)
+    for seed, cond in ((11, 1e2), (12, 1e5)):
+        n, m = 320, 240
+        from osqp_tpu.problems import ill_conditioned_qp
+        P, q, A, l, u = ill_conditioned_qp(n=n, m=m, cond=cond, seed=seed)
+
+        md = osqp.Model()
+        md.setup(P=P, q=q, A=A, l=l, u=u, **kw)
+        rd = md.solve()
+
+        mc = osqp.Model()   # capped auto budget: min(n+30, 64) = 64
+        mc.setup(P=P, q=q, A=A, l=l, u=u, linsys_solver="indirect", **kw)
+        rc = mc.solve()
+
+        mu = osqp.Model()   # explicit uncapped budget n+30
+        mu.setup(P=P, q=q, A=A, l=l, u=u, linsys_solver="indirect",
+                 cg_max_iter=n + 30, **kw)
+        ru = mu.solve()
+
+        assert rd.info.status == rc.info.status == ru.info.status == "Solved"
+        np.testing.assert_allclose(rc.x, rd.x, atol=5e-5)
+        np.testing.assert_allclose(ru.x, rd.x, atol=5e-5)
+        assert abs(rc.info.obj_val - rd.info.obj_val) < 1e-5 * max(
+            1.0, abs(rd.info.obj_val))
+
+
 def test_block_jacobi_preconditioner_shape_and_apply():
     """The dense indirect path's FactorState.L is a (nb, 128, 128) stack of
     block-Cholesky factors; applying it must equal multiplying by the

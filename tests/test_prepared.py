@@ -125,6 +125,37 @@ def test_prepared_rho0_override():
     assert np.all(np.asarray(out2.status) == C.SOLVED)
 
 
+def test_update_settings_rho_reaches_prepared_solve():
+    """Round-3 advisor fix: ``update_settings(rho=...)`` on a prepared
+    solver must reset the carried factor so the next ``solve_prepared``
+    refactors at the new rho (reference osqp_update_rho semantics,
+    interface.jl:540-556) — with adaptive_rho off, the trajectory must
+    equal a fresh solver constructed with that rho."""
+    P, q, A, l, u = _batch(seed=19)
+    st = _settings(adaptive_rho=False)
+    solver = BatchedSolver(settings=st, kkt_mode="shared")
+    solver.prepare(P, A, q=q)
+    out1 = solver.solve_prepared(q, l, u)
+    assert np.all(np.asarray(out1.status) == C.SOLVED)
+
+    solver.update_settings(rho=2.5)
+    out2 = solver.solve_prepared(q, l, u)
+
+    ref = BatchedSolver(settings=_settings(adaptive_rho=False, rho=2.5),
+                        kkt_mode="shared")
+    ref.prepare(P, A, q=q)
+    out_ref = ref.solve_prepared(q, l, u)
+    # same rho => identical iteration counts and solutions
+    np.testing.assert_array_equal(np.asarray(out2.iter),
+                                  np.asarray(out_ref.iter))
+    np.testing.assert_allclose(np.asarray(out2.x), np.asarray(out_ref.x),
+                               rtol=1e-9, atol=1e-10)
+    # and the rho change is real: different rho => different trajectory
+    assert not np.array_equal(np.asarray(out1.iter), np.asarray(out2.iter)) \
+        or not np.allclose(np.asarray(out1.x), np.asarray(out2.x),
+                           rtol=1e-12, atol=0)
+
+
 def test_prepared_guards():
     P, q, A, l, u = _batch(B=4)
     with pytest.raises(ValueError, match="shared"):

@@ -247,3 +247,32 @@ def test_artifact_metadata_and_platform_warning():
         warnings.simplefilter("always")
         load(buf.getvalue())
     assert any("exported for platforms" in str(x.message) for x in w)
+
+
+def test_platform_mode_follows_target_not_host():
+    """Round-3 advisor fix: the kernel mode embedded in an artifact follows
+    the TARGET platforms, not the exporting host's backend — a 'tpu'
+    artifact gets Mosaic kernels (interpret=False) even when exported on
+    CPU, and mixing tpu with other platforms is refused."""
+    from osqp_tpu.serve import _platform_mode
+    assert _platform_mode(["tpu"]) == (["tpu"], False)
+    assert _platform_mode(["cpu"]) == (["cpu"], True)
+    assert _platform_mode(["cpu", "cuda"]) == (["cpu", "cuda"], True)
+    with pytest.raises(ValueError, match="Mosaic"):
+        _platform_mode(["tpu", "cpu"])
+    # default: follow the current backend
+    plats, interp = _platform_mode(None)
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    assert interp == (not on_tpu)
+    assert plats == (["tpu"] if on_tpu else [jax.default_backend()])
+
+    # a cpu-targeted export built on this (cpu) host runs fine; the
+    # explicit platforms path goes through the same mode resolution
+    if jax.default_backend() == "cpu":
+        P, q, A, l, u = _problem(seed=43)
+        B = q.shape[0]
+        solver = _prepared_solver().prepare(P, A, q=q)
+        blob = export_prepared(solver, B=B, platforms=["cpu"])
+        srv = load(blob)
+        res = srv.solve(q, l, u)
+        assert set(np.asarray(res.info.status_val)) == {1}

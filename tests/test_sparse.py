@@ -264,6 +264,25 @@ def test_sparse_routing_direct_matches_indirect():
     np.testing.assert_allclose(rd.x, rm.x, atol=1e-10)
 
 
+def test_sparse_routing_honors_linsys_aliases():
+    """Round-3 advisor fix: routing keys off the COERCED linsys constant,
+    so the "cg" alias and the int constant select matrix-free exactly like
+    the literal "indirect" string (dense Model parity, interface.py)."""
+    from osqp_tpu import constants as C
+    P, q, A, l, u = make_sparse_problem(seed=17)
+    kw = dict(verbose=False, eps_abs=1e-8, eps_rel=1e-8)
+    for ls in ("cg", C.INDIRECT_SOLVER):
+        sm = SparseModel().setup(P=P, q=q, A=A, l=l, u=u,
+                                 linsys_solver=ls, **kw)
+        assert not sm._direct, f"alias {ls!r} must route matrix-free"
+        assert sm.solve().info.status == "Solved"
+    # and the direct aliases still route dense-direct at affordable sizes
+    for ls in ("qdldl", C.QDLDL_SOLVER):
+        sm = SparseModel().setup(P=P, q=q, A=A, l=l, u=u,
+                                 linsys_solver=ls, **kw)
+        assert sm._direct
+
+
 def test_sparse_routing_respects_size_gate():
     """Past the dense gate the default stays matrix-free; mesh sharding
     forces matrix-free regardless."""
