@@ -156,16 +156,27 @@ def main():
         return time.perf_counter() - t0
 
     def slope_ms(fn, lo=2, hi=50):
-        """Per-solve device time via the (hi-lo)-solve slope; retries when
-        tunnel jitter produces an implausible (non-positive / tiny) slope,
-        then falls back to the amortized upper bound t_hi/hi."""
+        """Per-solve device time via the (hi-lo)-solve slope. Tunnel/host
+        congestion only ever ADDS time, so the best (smallest) PLAUSIBLE
+        slope across attempts is the estimator; a slope below the
+        amortized-bound floor (0.2·t_hi/hi) is jitter-corrupted and
+        rejected. Attempts stop early once two plausible slopes agree
+        within 15% (round-3 capture wandered 1.7x between rounds on a
+        congested tunnel with the single-attempt variant)."""
         fn(lo)  # warm
-        for _ in range(3):
+        plausible = []
+        for _ in range(4):
             t_lo = min(fn(lo) for _ in range(3))
             t_hi = min(fn(hi) for _ in range(3))
             s = (t_hi - t_lo) / (hi - lo)
             if s > 0.2 * t_hi / hi:
-                return s
+                plausible.append(s)
+                best = min(plausible)
+                agree = [v for v in plausible if v < 1.15 * best]
+                if len(agree) >= 2:
+                    return best
+        if plausible:
+            return min(plausible)
         log("slope measurement unstable; using amortized t_hi/hi bound")
         return t_hi / hi
 
@@ -233,7 +244,7 @@ def main():
     # scripts/bench_shapes.py kernel sweep reports — while cold x0/y0 keep
     # the full iteration count (a warm-started run would measure 25-iter
     # solves dominated by dispatch) ----
-    def mfu_for_shape(B2, n2, m2):
+    def mfu_for_shape(B2, n2, m2, matmul_precision="float32"):
         P2, q2, A2, l2, u2 = make_batch(B2, n2, m2, seed=3)
         # exact-length kernel-rate phase (the public-API equivalent of the
         # scripts/bench_shapes.py raw-kernel sweep): check_termination=0
@@ -249,7 +260,8 @@ def main():
         K2 = 600
         s2 = Settings(eps_abs=1e-3, eps_rel=1e-3, polish=False,
                       verbose=False, dtype=np.float32, adaptive_rho=False,
-                      check_termination=0, max_iter=K2)
+                      check_termination=0, max_iter=K2,
+                      matmul_precision=matmul_precision)
         sol2 = BatchedSolver(settings=s2, kkt_mode="shared")
         sol2.prepare(P2, A2, q=q2)
         q2d, l2d, u2d = (jnp.asarray(v) for v in (q2, l2, u2))
@@ -282,6 +294,67 @@ def main():
     mfu_512, mfu_512_chip, qps_512 = mfu_for_shape(512, 512, 1024)
     log(f"shape (512,512,1024) prepared: MFU(f32) {mfu_512:.2f}% "
         f"(vs measured peak {mfu_512_chip:.2f}%), {qps_512:.0f} QP/s")
+
+    # ---- tensorfloat32 kernel phases: 3-pass bf16-split iteration matmuls
+    # (f32 accumulation, termination math f32-exact — statuses and
+    # iteration counts match the f32 engine; see Settings.matmul_precision).
+    # "MFU" here counts LOGICAL f32 flops against the f32 roofline, i.e. a
+    # value >100% of the f32 peak means the split scheme beats any possible
+    # full-f32 schedule.
+    t128_mfu, t128_chip, t128_qps = mfu_for_shape(
+        4096, 128, 256, matmul_precision="tensorfloat32")
+    log(f"shape (4096,128,256) tf32: {t128_qps:.0f} QP/s "
+        f"({t128_qps/qps_128:.2f}x f32 kernel; logical {t128_chip:.1f}% of "
+        f"measured f32 peak)")
+    t256_mfu, t256_chip, t256_qps = mfu_for_shape(
+        1024, 256, 512, matmul_precision="tensorfloat32")
+    log(f"shape (1024,256,512) tf32: {t256_qps:.0f} QP/s "
+        f"({t256_qps/qps_256:.2f}x f32 kernel; logical {t256_chip:.1f}% of "
+        f"measured f32 peak)")
+
+    # tf32 end-to-end: the PREPARED cold-start re-solve cycle (factor and
+    # scaling amortized — the serving regime where the kernel dominates;
+    # the one-shot cold path is ~60% per-solve scaling/factorization/epoch
+    # overhead at n=128, which tf32 does not touch). Both precisions
+    # measured identically, REAL termination settings (eps 1e-3, adaptive
+    # rho, check 25), cold x0/y0 so the full iteration count runs.
+    # rho0 pins every re-solve to the base rho (one in-jit refactor, FULL
+    # ~125-iteration count) — without it the carried adapted factor
+    # converges cold starts in ~26 iterations and the phase only measures
+    # dispatch. Identical treatment for both precisions.
+    rho_base = float(settings.rho)
+
+    def prepared_rate(mp):
+        sol = BatchedSolver(settings=settings.replace(matmul_precision=mp),
+                            kkt_mode="shared")
+        sol.prepare(P, A, q=q)
+        o = sol.solve_prepared(qd, ld, ud, rho0=rho_base)
+        jax.block_until_ready(o.x)
+
+        def fn(R):
+            t0 = time.perf_counter()
+            oo = None
+            for j in range(R):
+                oo = sol.solve_prepared(qs[j], ld, ud, rho0=rho_base)
+            np.asarray(oo.x)
+            return time.perf_counter() - t0
+
+        return slope_ms(fn), o
+
+    t_pf, out_f32_ref = prepared_rate("float32")
+    t_pt, out_tf = prepared_rate("tensorfloat32")
+    tf_solved = float(np.mean(np.asarray(out_tf.status) == 1))
+    tf_status_match = bool(np.array_equal(np.asarray(out_tf.status),
+                                          np.asarray(out_f32_ref.status)))
+    tf_iter_frac = float(np.mean(np.asarray(out_tf.iter)
+                                 == np.asarray(out_f32_ref.iter)))
+    prep_f32_qps = B / t_pf
+    tf32_prep_qps = B / t_pt
+    log(f"prepared cold-start re-solve: f32 {t_pf*1e3:.2f} ms -> "
+        f"{prep_f32_qps:.0f} QP/s | tf32 {t_pt*1e3:.2f} ms -> "
+        f"{tf32_prep_qps:.0f} QP/s ({t_pf/t_pt:.2f}x; solved "
+        f"{tf_solved:.3f}, statuses match {tf_status_match}, iters equal "
+        f"on {100*tf_iter_frac:.1f}% of lanes)")
 
     # warm compute-only: the same pipelined-slope method on the prepared
     # warm cycle (persistent workspace, factor carried)
@@ -412,6 +485,15 @@ def main():
         "mfu_n512_pct": round(mfu_512, 3),
         "mfu_n512_vs_chip_pct": round(mfu_512_chip, 3),
         "qps_n512_kernel": round(qps_512, 1),
+        "qps_n128_tf32_kernel": round(t128_qps, 1),
+        "tf32_n128_speedup": round(t128_qps / qps_128, 3),
+        "qps_n256_tf32_kernel": round(t256_qps, 1),
+        "tf32_n256_speedup": round(t256_qps / qps_256, 3),
+        "prepared_cold_f32_qps": round(prep_f32_qps, 1),
+        "prepared_cold_tf32_qps": round(tf32_prep_qps, 1),
+        "tf32_prepared_speedup": round(t_pf / t_pt, 3),
+        "tf32_status_match_f32": tf_status_match,
+        "tf32_iter_match_frac": round(tf_iter_frac, 4),
     }))
 
 

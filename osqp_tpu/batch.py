@@ -127,7 +127,8 @@ _prepare_jit = jax.jit(_prepare_impl)
 
 def _prepared_solve_impl(Pb, Ab, scal, q, l, u, x0, y0, dyn,
                          factor0: FactorCache, group: int, interpret: bool,
-                         adaptive: bool, lowp: bool = False):
+                         adaptive: bool, lowp: bool = False,
+                         tf32: bool = False):
     """Jitted prepared re-solve: scale per-lane vectors with the cached
     (D, E, c), start from the cached factor, return (out, updated factor)."""
     from . import constants as C_
@@ -143,21 +144,22 @@ def _prepared_solve_impl(Pb, Ab, scal, q, l, u, x0, y0, dyn,
     if adaptive:
         return _shared_adaptive_impl(
             Pb, Ab, qb, lb, ub, scal, dyn, xb, yb, zb, group=group,
-            interpret=interpret, factor0=factor0, with_factor=True, lowp=lowp)
+            interpret=interpret, factor0=factor0, with_factor=True,
+            lowp=lowp, tf32=tf32)
     return _shared_fixed_impl(Pb, Ab, qb, lb, ub, scal, dyn, xb, yb, zb,
                               group=group, interpret=interpret,
-                              factor0=factor0, with_factor=True)
+                              factor0=factor0, with_factor=True, tf32=tf32)
 
 
 _prepared_solve_jit = jax.jit(
     _prepared_solve_impl,
-    static_argnames=("group", "interpret", "adaptive", "lowp"))
+    static_argnames=("group", "interpret", "adaptive", "lowp", "tf32"))
 
 
 def _rollout_impl(Pb, Ab, scal, q0, l0, u0, x0, y0, dyn,
                   factor0: FactorCache, step_fn, n_steps: int,
                   keep_xs: bool, group: int, interpret: bool,
-                  adaptive: bool, lowp: bool):
+                  adaptive: bool, lowp: bool, tf32: bool = False):
     """Jitted closed-loop rollout: lax.scan over prepared re-solves with
     warm starts and the KKT factor carried step to step."""
 
@@ -165,7 +167,7 @@ def _rollout_impl(Pb, Ab, scal, q0, l0, u0, x0, y0, dyn,
         q, l, u, x, y, factor = carry
         out, fac = _prepared_solve_impl(
             Pb, Ab, scal, q, l, u, x, y, dyn, factor, group=group,
-            interpret=interpret, adaptive=adaptive, lowp=lowp)
+            interpret=interpret, adaptive=adaptive, lowp=lowp, tf32=tf32)
         q2, l2, u2 = step_fn(out.x, (q, l, u), k)
         per_step = dict(status=out.status, iter=out.iter,
                         obj_val=out.obj_val)
@@ -182,7 +184,7 @@ def _rollout_impl(Pb, Ab, scal, q0, l0, u0, x0, y0, dyn,
 _rollout_jit = jax.jit(
     _rollout_impl,
     static_argnames=("step_fn", "n_steps", "keep_xs", "group", "interpret",
-                     "adaptive", "lowp"))
+                     "adaptive", "lowp", "tf32"))
 
 
 def _vmapped_solve(data: QPData, dyn, scaling_iters, x0, y0,
@@ -243,11 +245,12 @@ class BatchedSolver:
                                 static_argnames=("kkt_mode", "do_polish"))
         self._shared_jit = jax.jit(
             lambda P, A, q, l, u, dyn, sc, x0, y0, group, interpret, adaptive,
-            lowp:
+            lowp, tf32:
             _shared_solve_impl(P, A, q, l, u, dyn, sc, x0, y0,
                                group=group, interpret=interpret,
-                               adaptive=adaptive, lowp=lowp),
-            static_argnames=("group", "interpret", "adaptive", "lowp"))
+                               adaptive=adaptive, lowp=lowp, tf32=tf32),
+            static_argnames=("group", "interpret", "adaptive", "lowp",
+                             "tf32"))
 
     def update_settings(self, **kwargs):
         """Post-construction settings update (reference interface.jl:442-670
@@ -396,7 +399,7 @@ class BatchedSolver:
             p["Pb"], p["Ab"], p["scal"], q, l, u, x0, y0, dyn, factor,
             group=group, interpret=interpret,
             adaptive=bool(s.adaptive_rho),
-            lowp=bool(s.mixed_precision))
+            lowp=bool(s.mixed_precision), tf32=s.tf32())
         p["factor"] = fac
         if s.polish:
             out = self._apply_polish(p["P"], p["A"], q, l, u, dyn, dtype, out)
@@ -445,7 +448,8 @@ class BatchedSolver:
             p["Pb"], p["Ab"], p["scal"], q0, l0, u0, x0, y0, dyn,
             p["factor"], step_fn=step_fn, n_steps=int(n_steps),
             keep_xs=bool(keep_xs), group=group, interpret=interpret,
-            adaptive=bool(s.adaptive_rho), lowp=bool(s.mixed_precision))
+            adaptive=bool(s.adaptive_rho), lowp=bool(s.mixed_precision),
+            tf32=s.tf32())
         p["factor"] = fac
         outs = dict(outs)
         outs["x"] = xf
@@ -489,7 +493,8 @@ class BatchedSolver:
                                        group=group, interpret=interpret,
                                        adaptive=bool(s.adaptive_rho),
                                        axis_name=self.axis_name,
-                                       lowp=bool(s.mixed_precision)),
+                                       lowp=bool(s.mixed_precision),
+                                       tf32=s.tf32()),
                     mesh=self.mesh,
                     in_specs=(rspec, rspec, bspec, bspec, bspec,
                               bspec, bspec),
@@ -508,7 +513,7 @@ class BatchedSolver:
                 out = self._shared_jit(Pm, A, q, l, u, dyn,
                                        jnp.int32(s.scaling), x0, y0,
                                        group, interpret, bool(s.adaptive_rho),
-                                       bool(s.mixed_precision))
+                                       bool(s.mixed_precision), s.tf32())
         else:
             if Pm.ndim == 2:  # shared P / A broadcast across the batch
                 Pm = jnp.broadcast_to(Pm, (B, n, n))

@@ -25,11 +25,33 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def split_bf16(x):
+    """Split an f32 array into a (hi, lo) bf16 pair with x ≈ hi + lo.
+
+    The two-term expansion keeps ~16 mantissa bits; a 3-pass product
+    hi·sh + hi·sl + lo·sh of two such splits carries relative error ~4e-6
+    (measured on-chip) — the same scheme XLA's ``Precision.HIGH``
+    (tensorfloat32) uses, which Mosaic does not lower natively inside
+    Pallas kernels, hence the manual form."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(x.dtype)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def dot3(w_pair, s_pair, pt):
+    """3-pass bf16x3 product of split operands, f32 accumulation."""
+    wh, wl = w_pair
+    sh, sl = s_pair
+    d = functools.partial(jnp.dot, preferred_element_type=pt,
+                          precision=lax.Precision.DEFAULT)
+    return d(wh, sh) + d(wh, sl) + d(wl, sh)
+
+
 def _kernel(scalars_ref,  # SMEM prefetch: [sigma, alpha, K, live_groups]
             rinv_ref, a_ref, rat_ref, rho_ref, rho_inv_ref,
             q_ref, l_ref, u_ref, x0_ref, y0_ref, z0_ref,
             x_ref, y_ref, z_ref, xp_ref, yp_ref,
-            static_k: int = 0, lowp: bool = False):
+            static_k: int = 0, lowp: bool = False, tf32: bool = False):
     """``static_k > 0`` unrolls the iteration loop at trace time (better
     Mosaic scheduling/ILP); otherwise the count comes from the prefetched
     scalar and runs as a while_loop.
@@ -85,22 +107,33 @@ def _kernel(scalars_ref,  # SMEM prefetch: [sigma, alpha, K, live_groups]
             # bf16 operands, so the low-precision dots must request DEFAULT
             # (bf16 multiply, f32 accumulate via preferred_element_type)
             prec = lax.Precision.DEFAULT
+        elif tf32:
+            # tensorfloat32: the loop-invariant operators split ONCE per
+            # invocation; the dynamic side splits per iteration in step()
+            A_s, Rinv_s, RAt_s = (split_bf16(A), split_bf16(Rinv_a),
+                                  split_bf16(RAt_a))
         else:
             A_c, Rinv_c, RAt_c = A, Rinv_a, RAt_a
             prec = None
 
         def step(carry):
-            # carry = (x, t, z) with t = ρ⁻¹y — the ρ-scaled dual
+            # carry = (x, t, z) with t = rho^-1 y -- the rho-scaled dual
             x, t, z = carry
-            w = rho * (z - t)                                 # (G, m)
-            wc = w.astype(jnp.bfloat16) if lowp else w
-            rhs = sigma * x - q + jnp.dot(wc, A_c, preferred_element_type=pt,
-                                          precision=prec)
-            rc = rhs.astype(jnp.bfloat16) if lowp else rhs
-            xt_a = jnp.dot(rc, Rinv_c, preferred_element_type=pt,
-                           precision=prec)                    # (G, n), α·x̃
-            zt_a = jnp.dot(rc, RAt_c, preferred_element_type=pt,
-                           precision=prec)                    # (G, m), α·z̃
+            w = rho * (z - t)
+            if tf32:
+                rhs = sigma * x - q + dot3(split_bf16(w), A_s, pt)
+                r_s = split_bf16(rhs)
+                xt_a = dot3(r_s, Rinv_s, pt)              # (G, n), alpha*xt
+                zt_a = dot3(r_s, RAt_s, pt)               # (G, m), alpha*zt
+            else:
+                wc = w.astype(jnp.bfloat16) if lowp else w
+                rhs = sigma * x - q + jnp.dot(
+                    wc, A_c, preferred_element_type=pt, precision=prec)
+                rc = rhs.astype(jnp.bfloat16) if lowp else rhs
+                xt_a = jnp.dot(rc, Rinv_c, preferred_element_type=pt,
+                               precision=prec)            # (G, n), alpha*xt
+                zt_a = jnp.dot(rc, RAt_c, preferred_element_type=pt,
+                               precision=prec)            # (G, m), alpha*zt
             x_new = xt_a + beta * x
             v = zt_a + beta * z + t
             z_new = jnp.clip(v, lb, ub)
@@ -136,11 +169,12 @@ def _kernel(scalars_ref,  # SMEM prefetch: [sigma, alpha, K, live_groups]
 
 @functools.partial(jax.jit,
                    static_argnames=("group", "interpret", "static_k",
-                                    "lowp"))
+                                    "lowp", "tf32"))
 def admm_iterate_shared(Rinv, A, rho_vec, rho_inv, q, l, u, x, y, z,
                         sigma, alpha, K, group: int = 128,
                         interpret: bool = False, static_k: int = 0,
-                        live_groups=None, lowp: bool = False):
+                        live_groups=None, lowp: bool = False,
+                        tf32: bool = False):
     """K ADMM iterations for a shared-structure batch.
 
     Shapes: Rinv (n,n), A (m,n), rho (m,), q/x (B,n), l/u/y/z (B,m);
@@ -200,7 +234,7 @@ def admm_iterate_shared(Rinv, A, rho_vec, rho_inv, q, l, u, x, y, z,
 
     import functools as _ft
     out = pl.pallas_call(
-        _ft.partial(_kernel, static_k=static_k, lowp=lowp),
+        _ft.partial(_kernel, static_k=static_k, lowp=lowp, tf32=tf32),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, n), dtype),

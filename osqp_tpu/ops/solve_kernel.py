@@ -36,6 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .. import constants as C
+from .shared_iter import dot3, split_bf16
 
 _DIV_GUARD = 1e-10
 
@@ -47,7 +48,8 @@ def _kernel(scal_ref,  # SMEM: [sigma, alpha, max_iter, check_every,
             einv_ref, dinv_ref, d_raw_ref, e_raw_ref, einv_raw_ref,
             dinv_raw_ref, q_ref, l_ref, u_ref,
             x0_ref, y0_ref, z0_ref, status0_ref,
-            x_ref, y_ref, z_ref, xp_ref, yp_ref, stats_ref):
+            x_ref, y_ref, z_ref, xp_ref, yp_ref, stats_ref,
+            tf32: bool = False):
     sigma = scal_ref[0]
     alpha = scal_ref[1]
     max_iter = scal_ref[2].astype(jnp.int32)
@@ -82,6 +84,13 @@ def _kernel(scal_ref,  # SMEM: [sigma, alpha, max_iter, check_every,
         ub = u_ref[:]
         pt = q.dtype
         beta = 1.0 - alpha
+        if tf32:
+            # tensorfloat32 iteration products (see shared_iter.split_bf16):
+            # loop-invariant operators split once; the classification block
+            # below keeps full-precision dots — statuses never depend on
+            # the reduced-precision path.
+            A_s, Rinv_s, RAt_s = (split_bf16(A), split_bf16(Rinv_a),
+                                  split_bf16(RAt_a))
 
         def rowmax(M):  # (G, k) -> (G, 1)
             return jnp.max(jnp.abs(M), axis=1, keepdims=True)
@@ -104,10 +113,17 @@ def _kernel(scal_ref,  # SMEM: [sigma, alpha, max_iter, check_every,
             live = stats_ref[:][:, 0:1] == C.RUNNING  # (G, 1)
 
             w = rho * (z - t)
-            rhs = sigma * x - q + jnp.dot(w, A, preferred_element_type=pt)
-            # two sibling products off one rhs (serial chain of 2, not 3)
-            xt_a = jnp.dot(rhs, Rinv_a, preferred_element_type=pt)
-            zt_a = jnp.dot(rhs, RAt_a, preferred_element_type=pt)
+            if tf32:
+                rhs = sigma * x - q + dot3(split_bf16(w), A_s, pt)
+                r_s = split_bf16(rhs)
+                xt_a = dot3(r_s, Rinv_s, pt)
+                zt_a = dot3(r_s, RAt_s, pt)
+            else:
+                rhs = sigma * x - q + jnp.dot(w, A,
+                                              preferred_element_type=pt)
+                # two sibling products off one rhs (chain of 2, not 3)
+                xt_a = jnp.dot(rhs, Rinv_a, preferred_element_type=pt)
+                zt_a = jnp.dot(rhs, RAt_a, preferred_element_type=pt)
             x_new = xt_a + beta * x
             v = zt_a + beta * z + t
             z_new = jnp.clip(v, lb, ub)
@@ -274,12 +290,14 @@ def _kernel(scal_ref,  # SMEM: [sigma, alpha, max_iter, check_every,
             [status0_ref[:], zc, zc, zc, zc, zc, zc, zc], axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("group", "interpret"))
+@functools.partial(jax.jit, static_argnames=("group", "interpret",
+                                               "tf32"))
 def admm_solve_shared(Rinv, P, A, rho_vec, rho_inv, Einv, Dinv, cinv,
                       q, l, u, x, y, z, sigma, alpha, max_iter, check_every,
                       eps_abs, eps_rel, scal=None, eps_pinf=1e-4,
                       eps_dinf=1e-4, status0=None, it0=0, live_groups=None,
-                      group: int = 128, interpret: bool = False):
+                      group: int = 128, interpret: bool = False,
+                      tf32: bool = False):
     """One fully-classified solve leg for a shared-structure batch.
 
     Runs up to ``max_iter`` in-kernel iterations starting from global
@@ -363,7 +381,7 @@ def admm_solve_shared(Rinv, P, A, rho_vec, rho_inv, Einv, Dinv, cinv,
                             preferred_element_type=dtype)
     Rinv = alpha_c * Rinv
     out = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, tf32=tf32),
         grid_spec=grid_spec,
         # the full classification block's temporaries push the scoped-VMEM
         # stack past the default 16 MB accounting at G=512 even though the

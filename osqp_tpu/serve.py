@@ -111,7 +111,8 @@ def export_prepared(solver, B: int, path: Optional[str] = None,
         out, fac = _prepared_solve_impl(
             Pb, Ab, scal, q, l, u, x0, y0, dyn, factor,
             group=group, interpret=interpret,
-            adaptive=bool(s.adaptive_rho), lowp=bool(s.mixed_precision))
+            adaptive=bool(s.adaptive_rho), lowp=bool(s.mixed_precision),
+            tf32=s.tf32())
         if do_polish:
             from .batch import _batched_polish
             data_P = jnp.broadcast_to(Pd, (B, n, n))
@@ -199,7 +200,8 @@ def export_solver(settings, B: int, n: int, m: int,
         out = _shared_solve_impl(
             P, A, q, l, u, dyn, jnp.int32(s.scaling), x0, y0,
             group=group, interpret=interpret,
-            adaptive=bool(s.adaptive_rho), lowp=bool(s.mixed_precision))
+            adaptive=bool(s.adaptive_rho), lowp=bool(s.mixed_precision),
+            tf32=s.tf32())
         if do_polish:
             from .batch import _batched_polish
             from .types import QPData

@@ -84,6 +84,18 @@ class Settings:
     #: and solutions meet the same eps as with this off — only the
     #: iterate trajectory (and so iteration counts) may differ.
     mixed_precision: bool = False
+    #: In-kernel matmul precision for the shared-structure batched engine.
+    #: "float32" (default) runs every iteration matmul at full f32 precision
+    #: (XLA's 6-pass bf16 emulation on the MXU — the conservative,
+    #: reference-faithful mode). "tensorfloat32" runs the three
+    #: per-iteration products as 3-pass bf16-split dots with f32
+    #: accumulation (~2x the f32 MXU rate on v5e; per-product relative
+    #: error ~4e-6 vs f32's ~2e-7). Termination residuals, infeasibility
+    #: tests, scaling, and the KKT factorization always stay full f32, so
+    #: statuses/solutions meet the same eps either way — only the iterate
+    #: trajectory (and so iteration counts) may differ slightly. Requires
+    #: dtype float32; ignored by the non-shared engines.
+    matmul_precision: str = "float32"
 
     def __post_init__(self):
         self._coerce()
@@ -126,6 +138,21 @@ class Settings:
             raise ValueError("max_iter must be positive")
         if not (0.0 < self.alpha < 2.0):
             raise ValueError("alpha must be in (0, 2)")
+        self.matmul_precision = str(self.matmul_precision).lower()
+        if self.matmul_precision not in ("float32", "tensorfloat32"):
+            raise ValueError(
+                "matmul_precision must be 'float32' or 'tensorfloat32'")
+        if (self.matmul_precision == "tensorfloat32"
+                and self.dtype is not None
+                and np.dtype(self.dtype) != np.float32):
+            raise ValueError(
+                "matmul_precision='tensorfloat32' requires dtype float32")
+
+    def tf32(self) -> bool:
+        """True when the shared-engine kernels should run tensorfloat32
+        iteration matmuls (only meaningful at f32 compute dtype)."""
+        return (self.matmul_precision == "tensorfloat32"
+                and self.resolve_dtype() == np.float32)
 
     @classmethod
     def from_kwargs(cls, **kwargs) -> "Settings":

@@ -294,7 +294,8 @@ def solve_batch_shared(P, A, qb, lb, ub, scal: SharedScaling, dyn: DynParams,
                        interpret: bool = False,
                        axis_name=None, factor0: FactorCache = None,
                        with_factor: bool = False,
-                       lowp: bool = False) -> SolveOutput:
+                       lowp: bool = False,
+                       tf32: bool = False) -> SolveOutput:
     """Batched solve with shared (scaled) P, A. Per-lane qb/lb/ub are scaled;
     x0/y0/z0 are scaled starts.
 
@@ -386,7 +387,8 @@ def solve_batch_shared(P, A, qb, lb, ub, scal: SharedScaling, dyn: DynParams,
                 return admm_iterate_shared(
                     c.Rinv, A, c.rho_vec, c.rho_inv, c.qb, c.lb, c.ub,
                     c.x, c.y, c.z, dyn.sigma, dyn.alpha, K, group=group,
-                    interpret=interpret, live_groups=live_groups, lowp=lp)
+                    interpret=interpret, live_groups=live_groups, lowp=lp,
+                    tf32=tf32 and not lp)
 
             x_new, y_new, z_new, xp, yp = lax.cond(
                 c.fine, lambda _: _kern(False), lambda _: _kern(True), None)
@@ -435,7 +437,7 @@ def solve_batch_shared(P, A, qb, lb, ub, scal: SharedScaling, dyn: DynParams,
                 dyn.eps_abs, dyn.eps_rel, scal=scal,
                 eps_pinf=dyn.eps_prim_inf, eps_dinf=dyn.eps_dual_inf,
                 status0=c.status, it0=c.it, live_groups=live_groups,
-                group=group, interpret=interpret)
+                group=group, interpret=interpret, tf32=tf32)
 
             x_new = jnp.where(lx, xk, c.x)
             y_new = jnp.where(lx, yk, c.y)
@@ -686,7 +688,8 @@ def solve_batch_shared_fixed(P, A, qb, lb, ub, scal: SharedScaling,
                              dyn: DynParams, x0, y0, z0, group: int = 128,
                              interpret: bool = False,
                              axis_name=None, factor0: FactorCache = None,
-                             with_factor: bool = False) -> SolveOutput:
+                             with_factor: bool = False,
+                             tf32: bool = False) -> SolveOutput:
     """Fixed-rho shared-structure solve: the ENTIRE loop runs in one Pallas
     kernel (ops/solve_kernel.py) with full in-kernel classification every
     check_termination iterations (residual convergence, primal/dual
@@ -719,7 +722,7 @@ def solve_batch_shared_fixed(P, A, qb, lb, ub, scal: SharedScaling,
         qb, lb, ub, x0, y0, z0, dyn.sigma, dyn.alpha,
         dyn.max_iter, dyn.check_termination, dyn.eps_abs, dyn.eps_rel,
         scal=scal, eps_pinf=dyn.eps_prim_inf, eps_dinf=dyn.eps_dual_inf,
-        group=group, interpret=interpret)
+        group=group, interpret=interpret, tf32=tf32)
 
     # finalize identically to the epoch engine: the kernel classified each
     # lane at its check iterations (incl. infeasibility/NaN); lanes still
@@ -809,7 +812,7 @@ def solve_batch_shared_fixed(P, A, qb, lb, ub, scal: SharedScaling,
 def solve_shared(P, A, q, l, u, dyn: DynParams, scaling_iters,
                  x0, y0, group: int = 128, interpret: bool = False,
                  adaptive: bool = True, axis_name=None,
-                 lowp: bool = False) -> SolveOutput:
+                 lowp: bool = False, tf32: bool = False) -> SolveOutput:
     """One-shot shared-structure solve: scale shared data once, solve batch.
 
     P (n,n), A (m,n) shared; q (B,n), l/u (B,m) per-lane; x0/y0 unscaled.
@@ -835,7 +838,7 @@ def solve_shared(P, A, q, l, u, dyn: DynParams, scaling_iters,
         return solve_batch_shared_fixed(Pb, Ab, qb, lb, ub, scal, dyn,
                                         xb, yb, zb, group=group,
                                         interpret=interpret,
-                                        axis_name=axis_name)
+                                        axis_name=axis_name, tf32=tf32)
     return solve_batch_shared(Pb, Ab, qb, lb, ub, scal, dyn, xb, yb, zb,
                               group=group, interpret=interpret,
-                              axis_name=axis_name, lowp=lowp)
+                              axis_name=axis_name, lowp=lowp, tf32=tf32)

@@ -114,3 +114,74 @@ def test_fixed_rho_full_kernel_matches_epoch():
                                   np.asarray(out_ref.iter))
     np.testing.assert_allclose(np.asarray(out_fixed.x),
                                np.asarray(out_ref.x), atol=1e-5)
+
+
+@_skip_kernels_on_tpu
+def test_tf32_mode_matches_f32_statuses():
+    """matmul_precision='tensorfloat32' runs the iteration products as
+    3-pass bf16-split dots (~2x the f32 MXU rate on hardware; per-product
+    rel err ~4e-6). Termination math stays f32-exact, so statuses must
+    agree with the full-f32 engine and solutions must meet the same eps —
+    on BOTH shared paths (adaptive leg kernel + fixed single kernel)."""
+    B, n, m = 8, 16, 24
+    P, q, A, l, u = make_batch(B, n, m, seed=5)
+    for adaptive in (True, False):
+        kw = dict(verbose=False, eps_abs=1e-5, eps_rel=1e-5,
+                  dtype=np.float32, adaptive_rho=adaptive)
+        out_f = BatchedSolver(settings=Settings(**kw),
+                              kkt_mode="shared").solve(P, q, A, l, u)
+        out_t = BatchedSolver(
+            settings=Settings(matmul_precision="tensorfloat32", **kw),
+            kkt_mode="shared").solve(P, q, A, l, u)
+        np.testing.assert_array_equal(np.asarray(out_f.status),
+                                      np.asarray(out_t.status))
+        assert np.all(np.asarray(out_t.status) == 1)
+        # both meet eps; iterates may differ by O(split error x iters)
+        np.testing.assert_allclose(np.asarray(out_t.x),
+                                   np.asarray(out_f.x), atol=5e-4)
+
+
+@_skip_kernels_on_tpu
+def test_tf32_kernel_split_product_accuracy():
+    """The bf16x3 split product must be ~3 decimal digits tighter than a
+    plain bf16 product and track the f32 kernel within ~1e-5 relative."""
+    from osqp_tpu.ops.shared_iter import admm_iterate_shared
+    import jax.numpy as jnp
+    rng = np.random.RandomState(3)
+    B, n, m, K = 8, 16, 24, 30
+    Rinv = rng.randn(n, n).astype(np.float32) / n
+    A = rng.randn(m, n).astype(np.float32) / np.sqrt(n)
+    rho = np.full(m, 0.3, np.float32)
+    args = (jnp.asarray(Rinv), jnp.asarray(A), jnp.asarray(rho),
+            jnp.asarray(1.0 / rho),
+            jnp.asarray(rng.randn(B, n).astype(np.float32)),
+            jnp.asarray(-np.ones((B, m), np.float32)),
+            jnp.asarray(np.ones((B, m), np.float32)),
+            jnp.zeros((B, n), jnp.float32), jnp.zeros((B, m), jnp.float32),
+            jnp.zeros((B, m), jnp.float32), 1e-6, 1.6, K)
+    kw = dict(group=8, interpret=jax.default_backend() not in ("tpu", "axon"))
+    x_f = np.asarray(admm_iterate_shared(*args, **kw)[0], np.float64)
+    x_t = np.asarray(admm_iterate_shared(*args, tf32=True, **kw)[0],
+                     np.float64)
+    x_b = np.asarray(admm_iterate_shared(*args, lowp=True, **kw)[0],
+                     np.float64)
+    den = np.abs(x_f).max()
+    err_t = np.abs(x_t - x_f).max() / den
+    err_b = np.abs(x_b - x_f).max() / den
+    assert err_t < 2e-4, err_t
+    assert err_t < err_b / 30, (err_t, err_b)
+
+
+def test_matmul_precision_setting_validation():
+    with pytest.raises(ValueError, match="matmul_precision"):
+        Settings(matmul_precision="bf16x9")
+    with pytest.raises(ValueError, match="requires dtype float32"):
+        Settings(matmul_precision="tensorfloat32", dtype=np.float64)
+    s = Settings(matmul_precision="TensorFloat32", dtype=np.float32)
+    assert s.tf32()
+    # not updatable post-setup (static compile parameter, like dtype)
+    with pytest.raises(ValueError, match="cannot be updated"):
+        s.update_inplace(matmul_precision="float32")
+    # dtype=None under x64 resolves f64 -> tf32 silently off
+    s2 = Settings(matmul_precision="tensorfloat32")
+    assert s2.tf32() == (s2.resolve_dtype() == np.float32)

