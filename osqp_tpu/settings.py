@@ -93,8 +93,13 @@ class Settings:
     #: error ~4e-6 vs f32's ~2e-7). Termination residuals, infeasibility
     #: tests, scaling, and the KKT factorization always stay full f32, so
     #: statuses/solutions meet the same eps either way — only the iterate
-    #: trajectory (and so iteration counts) may differ slightly. Requires
-    #: dtype float32; ignored by the non-shared engines.
+    #: trajectory (and so iteration counts) may differ slightly. The
+    #: adaptive engine additionally carries a stall detector: a leg that
+    #: stops improving the closeness ratio (a tf32 noise plateau — seen on
+    #: eq-boosted-rho problems) switches the remaining legs to full f32,
+    #: so statuses can never regress vs the f32 engine (family-parity
+    #: tested). Requires dtype float32; ignored by the non-shared engines;
+    #: superseded by ``mixed_precision`` when both are set.
     matmul_precision: str = "float32"
 
     def __post_init__(self):

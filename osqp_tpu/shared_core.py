@@ -313,9 +313,21 @@ def solve_batch_shared(P, A, qb, lb, ub, scal: SharedScaling, dyn: DynParams,
     plateau is reached. Termination residuals are always computed in f32
     from the actual iterates, so a low-precision chunk can never declare a
     lane Solved spuriously; infeasibility certificates are deferred to the
-    full-precision phase (δx/δy of a bf16 chunk are noise-contaminated)."""
+    full-precision phase (δx/δy of a bf16 chunk are noise-contaminated).
+
+    ``tf32`` (``Settings.matmul_precision="tensorfloat32"``): run the leg
+    kernels with bf16x3 split products (~4e-6/product — convergence is
+    normally unaffected and iteration counts match f32), with the SAME
+    stall detector as ``lowp`` as a safety net: a leg that fails to
+    improve the closeness ratio (a tf32 noise plateau — seen on
+    eq-boosted-rho problems, where the plateau also biases the scale-free
+    rho estimate into the no-trigger band) switches the remaining legs to
+    full f32, so statuses can never regress vs the f32 engine. ``lowp``
+    supersedes ``tf32`` when both are set (the bf16 phase ladder already
+    ends at full f32)."""
     from .ops.shared_iter import admm_iterate_shared
 
+    tf32 = tf32 and not lowp  # mixed_precision supersedes (see docstring)
     dtype = P.dtype
     B, n = x0.shape
     m = y0.shape[1]
@@ -351,7 +363,7 @@ def solve_batch_shared(P, A, qb, lb, ub, scal: SharedScaling, dyn: DynParams,
         qb=qb, lb=lb, ub=ub,
         order=jnp.arange(B, dtype=jnp.int32),
         nlive=jnp.int32(B),
-        fine=jnp.asarray(not lowp),
+        fine=jnp.asarray(not (lowp or tf32)),
         last_ratio=jnp.asarray(jnp.inf, dtype),
     )
 
@@ -372,7 +384,7 @@ def solve_batch_shared(P, A, qb, lb, ub, scal: SharedScaling, dyn: DynParams,
     def cond_fun(c: SCarry):
         return _gany(c.status == C.RUNNING) & (c.it < dyn.max_iter)
 
-    def body_fun(c: SCarry) -> SCarry:
+    def body_fun(c: SCarry, leg_tf32: bool = False) -> SCarry:
         live = c.status == C.RUNNING
         lx = live[:, None]
         live_groups = (c.nlive + (G - 1)) // G if compact else None
@@ -387,8 +399,7 @@ def solve_batch_shared(P, A, qb, lb, ub, scal: SharedScaling, dyn: DynParams,
                 return admm_iterate_shared(
                     c.Rinv, A, c.rho_vec, c.rho_inv, c.qb, c.lb, c.ub,
                     c.x, c.y, c.z, dyn.sigma, dyn.alpha, K, group=group,
-                    interpret=interpret, live_groups=live_groups, lowp=lp,
-                    tf32=tf32 and not lp)
+                    interpret=interpret, live_groups=live_groups, lowp=lp)
 
             x_new, y_new, z_new, xp, yp = lax.cond(
                 c.fine, lambda _: _kern(False), lambda _: _kern(True), None)
@@ -429,6 +440,10 @@ def solve_batch_shared(P, A, qb, lb, ub, scal: SharedScaling, dyn: DynParams,
             Dinv_eff = jnp.where(st, jnp.ones_like(scal.Dinv), scal.Dinv)
             cinv_eff = jnp.where(st, jnp.ones_like(scal.cinv), scal.cinv)
 
+            # leg precision is STATIC per loop (the tf32 fallback runs
+            # as a second while_loop over the f32 body — a per-leg
+            # lax.cond between two Mosaic kernels measurably serializes
+            # dispatch on the relayed runtime)
             (xk, yk, zk, xpk, ypk, st_k, it_k, pri_k, dua_k, prn_k,
              dun_k) = admm_solve_shared(
                 c.Rinv, P, A, c.rho_vec, c.rho_inv, Einv_eff, Dinv_eff,
@@ -437,7 +452,7 @@ def solve_batch_shared(P, A, qb, lb, ub, scal: SharedScaling, dyn: DynParams,
                 dyn.eps_abs, dyn.eps_rel, scal=scal,
                 eps_pinf=dyn.eps_prim_inf, eps_dinf=dyn.eps_dual_inf,
                 status0=c.status, it0=c.it, live_groups=live_groups,
-                group=group, interpret=interpret, tf32=tf32)
+                group=group, interpret=interpret, tf32=leg_tf32)
 
             x_new = jnp.where(lx, xk, c.x)
             y_new = jnp.where(lx, yk, c.y)
@@ -510,7 +525,7 @@ def solve_batch_shared(P, A, qb, lb, ub, scal: SharedScaling, dyn: DynParams,
         rho_bar2, rho_vec2, rho_inv2, Rinv2, rho_upd2, rho_est2 = lax.cond(
             do_rho, adapt, no_adapt, None)
 
-        if lowp:
+        if lowp or leg_tf32:
             # precision-phase switch: closeness ratio of the fastest
             # still-running lane (global across devices when sharded)
             den_p = jnp.maximum(dyn.eps_abs + dyn.eps_rel * res.pri_norm,
@@ -525,7 +540,12 @@ def solve_batch_shared(P, A, qb, lb, ub, scal: SharedScaling, dyn: DynParams,
                 rmin = lax.pmin(rmin, axis_name)
             near = rmin < _LOWP_SWITCH_RATIO
             stalled = rmin > _LOWP_STALL_FRAC * c.last_ratio
-            fine2 = c.fine | near | stalled
+            if lowp:
+                fine2 = c.fine | near | stalled
+            else:
+                # tf32 legs CAN converge to eps (unlike bf16 chunks), so
+                # only a genuine plateau forces the f32 fallback
+                fine2 = c.fine | stalled
             last_ratio2 = jnp.minimum(rmin, c.last_ratio)
         else:
             fine2 = c.fine
@@ -574,7 +594,16 @@ def solve_batch_shared(P, A, qb, lb, ub, scal: SharedScaling, dyn: DynParams,
 
         return lax.cond(worth_packing, pack, lambda t: t, nxt)
 
-    final = lax.while_loop(cond_fun, body_fun, carry0)
+    if tf32:
+        # phase 1: tf32 legs until done OR the stall detector latches
+        # ``fine``; phase 2: full-f32 legs for whatever remains. Statically
+        # two loop bodies — no runtime kernel selection on the hot path.
+        mid = lax.while_loop(
+            lambda c: cond_fun(c) & jnp.logical_not(c.fine),
+            lambda c: body_fun(c, leg_tf32=True), carry0)
+        final = lax.while_loop(cond_fun, body_fun, mid)
+    else:
+        final = lax.while_loop(cond_fun, body_fun, carry0)
 
     if compact:
         # restore original lane order: order[slot] = original index
@@ -694,7 +723,15 @@ def solve_batch_shared_fixed(P, A, qb, lb, ub, scal: SharedScaling,
     kernel (ops/solve_kernel.py) with full in-kernel classification every
     check_termination iterations (residual convergence, primal/dual
     infeasibility, NaN breakdown) and per-lane freezing. Used when
-    adaptive_rho is off (no mid-solve refactorization)."""
+    adaptive_rho is off (no mid-solve refactorization).
+
+    ``tf32`` caveat: this single-invocation path has no driver between
+    legs, so it runs the WHOLE solve at the requested precision with no
+    stall fallback — a problem whose f32 fixed-rho solve converges only
+    marginally above the tf32 noise floor can end Max_iter_reached here
+    where the f32 engine would (slowly) solve. The adaptive engine
+    (the default) detects the plateau and falls back to f32 legs; use it,
+    or full f32, for eq-heavy/marginal problems at fixed rho."""
     from .ops.solve_kernel import admm_solve_shared
 
     dtype = P.dtype

@@ -185,3 +185,29 @@ def test_matmul_precision_setting_validation():
     # dtype=None under x64 resolves f64 -> tf32 silently off
     s2 = Settings(matmul_precision="tensorfloat32")
     assert s2.tf32() == (s2.resolve_dtype() == np.float32)
+
+
+@_skip_kernels_on_tpu
+def test_tf32_family_status_parity():
+    """Shared-engine status parity between f32 and tensorfloat32 across the
+    conformance problem families (batched: shared P/A, per-lane q): the
+    tf32 iterate noise (~4e-6/product) must never flip a status at the f32
+    production tolerances."""
+    from osqp_tpu import problems as PR
+    B = 4
+    for fam, gen in sorted(PR.FAMILIES.items()):
+        P, q, A, l, u = gen(seed=1)
+        rng = np.random.RandomState(7)
+        qb = np.stack([q + 0.01 * rng.randn(*q.shape) for _ in range(B)])
+        lb = np.broadcast_to(l, (B,) + l.shape).copy()
+        ub = np.broadcast_to(u, (B,) + u.shape).copy()
+        sts = {}
+        for mp in ("float32", "tensorfloat32"):
+            s = Settings(verbose=False, eps_abs=1e-3, eps_rel=1e-3,
+                         dtype=np.float32, max_iter=20000,
+                         matmul_precision=mp)
+            out = BatchedSolver(settings=s, kkt_mode="shared").solve(
+                P, qb, A, lb, ub)
+            sts[mp] = np.asarray(out.status)
+        assert np.array_equal(sts["float32"], sts["tensorfloat32"]), (
+            fam, sts)
