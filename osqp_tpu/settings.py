@@ -96,9 +96,12 @@ class Settings:
     #: trajectory (and so iteration counts) may differ slightly. The
     #: adaptive engine additionally carries a stall detector: a leg that
     #: stops improving the closeness ratio (a tf32 noise plateau — seen on
-    #: eq-boosted-rho problems) switches the remaining legs to full f32,
-    #: so statuses can never regress vs the f32 engine (family-parity
-    #: tested). Requires dtype float32; ignored by the non-shared engines;
+    #: eq-boosted-rho problems) switches the remaining legs to full f32:
+    #: lanes the f32 engine solves decisively stay Solved (family-parity +
+    #: fuzz tested); lanes that are convergence-marginal in f32 itself
+    #: (inaccurate/max-iter at the iteration budget) may move between
+    #: those marginal statuses, as under any trajectory perturbation.
+    #: Requires dtype float32; ignored by the non-shared engines;
     #: superseded by ``mixed_precision`` when both are set.
     matmul_precision: str = "float32"
 

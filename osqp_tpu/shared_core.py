@@ -322,9 +322,10 @@ def solve_batch_shared(P, A, qb, lb, ub, scal: SharedScaling, dyn: DynParams,
     improve the closeness ratio (a tf32 noise plateau — seen on
     eq-boosted-rho problems, where the plateau also biases the scale-free
     rho estimate into the no-trigger band) switches the remaining legs to
-    full f32, so statuses can never regress vs the f32 engine. ``lowp``
-    supersedes ``tf32`` when both are set (the bf16 phase ladder already
-    ends at full f32)."""
+    full f32, so every lane the f32 engine solves decisively stays Solved
+    (convergence-marginal lanes may move between the marginal statuses,
+    as under any trajectory perturbation). ``lowp`` supersedes ``tf32``
+    when both are set (the bf16 phase ladder already ends at full f32)."""
     from .ops.shared_iter import admm_iterate_shared
 
     tf32 = tf32 and not lowp  # mixed_precision supersedes (see docstring)

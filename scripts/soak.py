@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--n", type=int, default=128)
     ap.add_argument("--m", type=int, default=256)
+    ap.add_argument("--matmul-precision", default="float32",
+                    choices=["float32", "tensorfloat32"])
     args = ap.parse_args()
 
     import jax
@@ -44,7 +46,8 @@ def main():
 
     solver = BatchedSolver(
         settings=Settings(eps_abs=1e-3, eps_rel=1e-3, verbose=False,
-                          dtype=np.float32),
+                          dtype=np.float32,
+                          matmul_precision=args.matmul_precision),
         kkt_mode="shared").prepare(P, A)
 
     def draw(seed):
@@ -93,6 +96,7 @@ def main():
     wall = time.perf_counter() - t_start
     result = {
         "metric": "soak_qp_throughput",
+        "matmul_precision": args.matmul_precision,
         "value": round(lanes_total / wall, 1),
         "unit": "QP/s",
         "batches": k,

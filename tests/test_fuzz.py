@@ -197,3 +197,59 @@ def test_fuzz_sparse_routing_differential(seed):
     assert rd.info.status == ri.info.status == "Solved"
     scale = 1.0 + np.max(np.abs(rd.x))
     assert np.max(np.abs(rd.x - ri.x)) / scale < 1e-4
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_tf32_status_parity(seed):
+    """Randomized shared-structure batches: the tensorfloat32 engine (with
+    its stall-detected f32 fallback, adaptive driver) must keep every lane
+    the f32 engine SOLVES decisively Solved, with solutions within the
+    shared eps — including equality rows (eq-boosted rho, the measured
+    tf32 plateau regime) and loose rows. Lanes that are marginal in f32
+    itself (Solved_inaccurate / Max_iter at the budget: the 10x-loosened
+    approx check at max_iter is a knife edge for ANY trajectory
+    perturbation) may move between the marginal statuses but must never
+    flip to an infeasibility certificate or Non_convex."""
+    from osqp_tpu.batch import BatchedSolver
+    from osqp_tpu.settings import Settings
+    from osqp_tpu import constants as C
+
+    rng = np.random.RandomState(8800 + seed)
+    B = int(rng.randint(2, 5))
+    n = int(rng.randint(4, 14))
+    m = int(rng.randint(3, 18))
+    M = rng.randn(n, n) / np.sqrt(n)
+    P = M.T @ M + (0.05 + rng.rand()) * np.eye(n)
+    A = rng.randn(m, n) / np.sqrt(n)
+    q = rng.randn(B, n)
+    c = rng.randn(B, m) * 0.2
+    w = 0.5 + rng.rand(B, m)
+    l, u = c - w, c + w
+    # force some equality rows (same in every lane -> eq-boosted rho) and
+    # some loose rows
+    if m >= 4:
+        l[:, 0] = u[:, 0]
+        l[:, 1] = -np.inf
+        u[:, 1] = np.inf
+    kw = dict(verbose=False, eps_abs=1e-4, eps_rel=1e-4, max_iter=20000,
+              dtype=np.float32, adaptive_rho=True)
+    outs = {}
+    for mp in ("float32", "tensorfloat32"):
+        s = Settings(matmul_precision=mp, **kw)
+        outs[mp] = BatchedSolver(settings=s, kkt_mode="shared").solve(
+            P, q, A, l, u)
+    st_f = np.asarray(outs["float32"].status)
+    st_t = np.asarray(outs["tensorfloat32"].status)
+    decisive = st_f == C.SOLVED
+    assert np.all(st_t[decisive] == C.SOLVED), (seed, st_f, st_t)
+    marginal = {C.SOLVED, C.SOLVED_INACCURATE, C.MAX_ITER_REACHED}
+    for sf, stt in zip(st_f, st_t):
+        if int(sf) in marginal:
+            assert int(stt) in marginal, (seed, st_f, st_t)
+        else:
+            assert int(stt) == int(sf), (seed, st_f, st_t)
+    both = decisive & (st_t == C.SOLVED)
+    if both.any():
+        np.testing.assert_allclose(
+            np.asarray(outs["tensorfloat32"].x)[both],
+            np.asarray(outs["float32"].x)[both], atol=5e-3)
