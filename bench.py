@@ -341,8 +341,13 @@ def main():
 
         return slope_ms(fn), o
 
+    # interleave the A/B (f32, tf32, f32, tf32) and take per-precision
+    # minima: the chip clock and tunnel load drift on the timescale of one
+    # phase, which a sequential pair absorbs into the ratio
     t_pf, out_f32_ref = prepared_rate("float32")
     t_pt, out_tf = prepared_rate("tensorfloat32")
+    t_pf = min(t_pf, prepared_rate("float32")[0])
+    t_pt = min(t_pt, prepared_rate("tensorfloat32")[0])
     tf_solved = float(np.mean(np.asarray(out_tf.status) == 1))
     tf_status_match = bool(np.array_equal(np.asarray(out_tf.status),
                                           np.asarray(out_f32_ref.status)))
@@ -380,7 +385,10 @@ def main():
         qk, lk, uk = qlu
         return qk + drift, lk, uk
 
-    S_ROLL = 20
+    # 100 steps: at ~1.5-2 ms/step the ~70 ms tunnel round-trip included in
+    # the single timed dispatch amortizes to <5% (at 20 steps it diluted
+    # the per-step rate ~2x and masked the tf32 delta entirely)
+    S_ROLL = 100
     rout = solver.solve_rollout(qd, ld, ud, _roll_step, n_steps=S_ROLL)
     np.asarray(rout["x"])  # compile
     t0 = time.perf_counter()
@@ -391,6 +399,25 @@ def main():
     rollout_qps = S_ROLL * B / t_roll
     log(f"closed-loop rollout: {S_ROLL} steps x {B} lanes in {t_roll:.3f}s "
         f"-> {rollout_qps:.0f} QP/s (solved fraction {roll_solved:.3f})")
+
+    # tf32 rollout: one dispatch for the whole loop, so the kernel share is
+    # high — the serving pattern where tensorfloat32 pays end-to-end
+    tf_roll_solver = BatchedSolver(
+        settings=settings.replace(matmul_precision="tensorfloat32"),
+        kkt_mode="shared")
+    tf_roll_solver.prepare(P, A, q=q)
+    rt = tf_roll_solver.solve_rollout(qd, ld, ud, _roll_step,
+                                      n_steps=S_ROLL)
+    np.asarray(rt["x"])  # compile
+    t0 = time.perf_counter()
+    rt = tf_roll_solver.solve_rollout(qd, ld, ud, _roll_step,
+                                      n_steps=S_ROLL)
+    np.asarray(rt["x"])
+    t_roll_tf = time.perf_counter() - t0
+    roll_tf_solved = float(np.mean(np.asarray(rt["status"]) == 1))
+    rollout_tf32_qps = S_ROLL * B / t_roll_tf
+    log(f"tf32 rollout: {t_roll_tf:.3f}s -> {rollout_tf32_qps:.0f} QP/s "
+        f"({t_roll/t_roll_tf:.2f}x; solved fraction {roll_tf_solved:.3f})")
 
     # mixed precision (Settings.mixed_precision): bf16 iteration chunks
     # until near convergence, then f32 — same statuses/eps, single-pass MXU
@@ -489,6 +516,7 @@ def main():
         "tf32_n128_speedup": round(t128_qps / qps_128, 3),
         "qps_n256_tf32_kernel": round(t256_qps, 1),
         "tf32_n256_speedup": round(t256_qps / qps_256, 3),
+        "rollout_tf32_qps": round(rollout_tf32_qps, 1),
         "prepared_cold_f32_qps": round(prep_f32_qps, 1),
         "prepared_cold_tf32_qps": round(tf32_prep_qps, 1),
         "tf32_prepared_speedup": round(t_pf / t_pt, 3),
