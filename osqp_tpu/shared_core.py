@@ -576,7 +576,11 @@ def solve_batch_shared(P, A, qb, lb, ub, scal: SharedScaling, dyn: DynParams,
         nlive_now = jnp.sum(~dead).astype(jnp.int32)
         cur_groups = (c.nlive + (G - 1)) // G
         new_groups = (nlive_now + (G - 1)) // G
-        worth_packing = new_groups < cur_groups
+        # nlive_now > 0: when the whole batch just finished (the common
+        # warm re-solve case — every lane converges at the same check),
+        # the loop exits anyway and a pack here is pure waste (argsort +
+        # 13 gathers, ~0.3 ms/step inside a rollout)
+        worth_packing = (new_groups < cur_groups) & (nlive_now > 0)
 
         def pack(t: SCarry) -> SCarry:
             perm = jnp.argsort(dead, stable=True)
@@ -607,17 +611,26 @@ def solve_batch_shared(P, A, qb, lb, ub, scal: SharedScaling, dyn: DynParams,
         final = lax.while_loop(cond_fun, body_fun, carry0)
 
     if compact:
-        # restore original lane order: order[slot] = original index
-        def _scatter(v):
-            return jnp.zeros_like(v).at[final.order].set(v)
+        # restore original lane order: order[slot] = original index —
+        # skipped entirely (lax.cond) when no pack ever fired, so the
+        # all-lanes-finish-together warm path pays nothing for compaction
+        iota = jnp.arange(B, dtype=jnp.int32)
 
-        final = final._replace(
-            x=_scatter(final.x), y=_scatter(final.y), z=_scatter(final.z),
-            x_prev=_scatter(final.x_prev), y_prev=_scatter(final.y_prev),
-            status=_scatter(final.status), iters=_scatter(final.iters),
-            pri_res=_scatter(final.pri_res), dua_res=_scatter(final.dua_res),
-            qb=qb, lb=lb, ub=ub, order=jnp.arange(B, dtype=jnp.int32),
-        )
+        def _unscatter(t: SCarry) -> SCarry:
+            def _scatter(v):
+                return jnp.zeros_like(v).at[t.order].set(v)
+
+            return t._replace(
+                x=_scatter(t.x), y=_scatter(t.y), z=_scatter(t.z),
+                x_prev=_scatter(t.x_prev), y_prev=_scatter(t.y_prev),
+                status=_scatter(t.status), iters=_scatter(t.iters),
+                pri_res=_scatter(t.pri_res), dua_res=_scatter(t.dua_res),
+                order=iota,
+            )
+
+        final = lax.cond(jnp.any(final.order != iota), _unscatter,
+                         lambda t: t, final)
+        final = final._replace(qb=qb, lb=lb, ub=ub)
 
     # ---- finalize ----
     hit_max = final.status == C.RUNNING
