@@ -55,6 +55,9 @@ def __getattr__(name):
     if name == "make_qp_layer":
         from .diff import make_qp_layer
         return make_qp_layer
+    if name == "make_batched_qp_layer":
+        from .diff import make_batched_qp_layer
+        return make_batched_qp_layer
     if name in ("export_prepared", "load_artifact", "PreparedServer"):
         from . import serve
         return {"export_prepared": serve.export_prepared,
@@ -75,6 +78,7 @@ __all__ = [
     "BlockTridiagSolver",
     "solve_qp",
     "make_qp_layer",
+    "make_batched_qp_layer",
     "export_prepared",
     "load_artifact",
     "PreparedServer",

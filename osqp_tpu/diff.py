@@ -201,3 +201,104 @@ def solve_qp(P, q, A, l, u, settings: Settings | None = None, *,
     except TypeError:  # unhashable setting value — build uncached
         layer = make_qp_layer(base, delta=delta, refine_iters=refine_iters)
     return layer(P, q, A, l, u)
+
+
+def make_batched_qp_layer(settings: Settings | None = None, *,
+                          delta: float = 1e-6, refine_iters: int = 8,
+                          **overrides):
+    """Differentiable SHARED-STRUCTURE batched solve
+    ``fn(P, A, q, l, u) -> (x, y)`` for learned-MPC training: one P (n,n)
+    and A (m,n) shared across the batch, per-lane q (B,n) / l,u (B,m).
+
+    The forward pass runs the shared-structure engine (one Ruiz
+    equilibration + one KKT factorization + the fused Pallas iteration
+    kernels — the same path as ``BatchedSolver(kkt_mode="shared")``), so a
+    training step pays batched-engine throughput rather than B per-lane
+    factorizations of a vmapped :func:`make_qp_layer`.
+
+    The backward pass is the same masked-KKT adjoint as
+    :func:`make_qp_layer`, vmapped over lanes (each lane has its own
+    active set, hence its own delta-regularized Schur factor — one batched
+    (B,n,n) Cholesky, the cost of one polish pass). Because P and A are
+    SHARED, their cotangents accumulate over the batch:
+
+        P̄ = -Σ_b sym(d_x,b x*_bᵀ),   Ā = -Σ_b (d_ν,b x*_bᵀ + (m∘y*_b) d_x,bᵀ)
+
+    while q̄/l̄/ū stay per-lane. Non-Solved lanes NaN-poison only their own
+    lane's q̄/l̄/ū — and, through the shared sums, P̄/Ā (loudly, by design:
+    a training step must not silently average over garbage gradients).
+    Composes with ``jax.jit``/``jax.grad``; statuses follow the forward
+    engine exactly (it IS the forward engine)."""
+    import jax as _jax
+
+    base = settings if settings is not None else Settings(verbose=False)
+    if overrides:
+        base = base.replace(**overrides)
+    dtype = base.resolve_dtype()
+    scaling_iters = int(base.scaling)
+
+    def _forward(P, A, q, l, u):
+        from .batch import _pick_group
+        from .shared_core import solve_shared
+        B, n = q.shape
+        m = l.shape[-1]
+        interpret = _jax.default_backend() not in ("tpu", "axon")
+        group = _pick_group(B, n, m, jnp.dtype(dtype).itemsize, interpret)
+        out = solve_shared(
+            jnp.asarray(P, dtype), jnp.asarray(A, dtype),
+            jnp.asarray(q, dtype), jnp.asarray(l, dtype),
+            jnp.asarray(u, dtype),
+            dyn_from_settings(base, dtype), jnp.int32(scaling_iters),
+            jnp.zeros((B, n), dtype), jnp.zeros((B, m), dtype),
+            group=group, interpret=interpret,
+            adaptive=bool(base.adaptive_rho),
+            lowp=bool(base.mixed_precision), tf32=base.tf32())
+        return out.x, out.y, out.status
+
+    @_jax.custom_vjp
+    def qp_solve(P, A, q, l, u):
+        x, y, _ = _forward(P, A, q, l, u)
+        return x, y
+
+    def fwd(P, A, q, l, u):
+        x, y, status = _forward(P, A, q, l, u)
+        return (x, y), (jnp.asarray(P, dtype), jnp.asarray(A, dtype),
+                        x, y, status)
+
+    @with_precision
+    def bwd(res, cots):
+        Pd, Ad, x, y, status = res
+        xbar, ybar = (jnp.asarray(v, dtype) for v in cots)
+        m = Ad.shape[0]
+
+        low = y < 0.0
+        upp = y > 0.0
+        mask = (low | upp).astype(dtype)
+
+        dx, dnu = _jax.vmap(
+            lambda mk, xb, yb: _kkt_adjoint_solve(
+                Pd, Ad, mk, xb, yb, delta, refine_iters)
+        )(mask, xbar, mask * ybar)
+
+        ok = (status == C.SOLVED) | (status == C.SOLVED_INACCURATE)
+        poison = jnp.where(ok, jnp.asarray(1.0, dtype),
+                           jnp.asarray(jnp.nan, dtype))[:, None]
+        dx = dx * poison
+        dnu = dnu * poison
+
+        q_bar = -dx
+        # shared-operator cotangents: sum of per-lane outer products, as
+        # batched GEMMs (B-contracted) rather than B explicit outers
+        P_bar = -sym(dx.T @ x)
+        if m > 0:
+            A_bar = -(dnu.T @ x + (mask * y).T @ dx)
+            l_bar = jnp.where(low, dnu, 0.0)
+            u_bar = jnp.where(upp, dnu, 0.0)
+        else:
+            A_bar = jnp.zeros_like(Ad)
+            l_bar = jnp.zeros_like(y)
+            u_bar = jnp.zeros_like(y)
+        return P_bar, A_bar, q_bar, l_bar, u_bar
+
+    qp_solve.defvjp(fwd, bwd)
+    return qp_solve

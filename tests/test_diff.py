@@ -243,3 +243,92 @@ def test_solve_qp_convenience_caches_layer():
     g = jax.grad(lambda qv: jnp.sum(solve_qp(P, qv, A, l, u, **TIGHT)[0]))(
         jnp.asarray(q))
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def _batched_problem(B=3, seed=4, n=6, m=9):
+    P, _, A, _, _ = _problem(seed=seed, n=n, m=m)
+    rng = np.random.RandomState(100 + seed)
+    q = rng.randn(B, n)
+    l = np.broadcast_to(
+        np.where(np.arange(m) >= m // 2, -5.0, -0.1), (B, m)).copy()
+    u = np.broadcast_to(
+        np.where(np.arange(m) >= m // 2, 5.0, 0.1), (B, m)).copy()
+    l[:, 0] = u[:, 0] = 0.05
+    return P, A, q, l, u
+
+
+def test_batched_layer_grads_match_per_lane_layer():
+    """The shared-engine batched layer must reproduce the per-lane layer's
+    gradients: q̄/l̄/ū lane-wise, and P̄/Ā as the SUM of per-lane cotangents
+    (P/A are shared). Differential, not FD — the per-lane layer is itself
+    FD-validated above."""
+    from osqp_tpu.diff import make_batched_qp_layer
+    P, A, q, l, u = _batched_problem()
+    B = q.shape[0]
+    blayer = make_batched_qp_layer(Settings(**TIGHT))
+    player = make_qp_layer(Settings(**TIGHT))
+
+    rng = np.random.RandomState(9)
+    wx = rng.randn(B, q.shape[1])
+    wy = rng.randn(B, l.shape[1])
+
+    def loss_b(P_, A_, q_, l_, u_):
+        x, y = blayer(P_, A_, q_, l_, u_)
+        return jnp.sum(wx * x) + jnp.sum(wy * y)
+
+    gb = jax.grad(loss_b, argnums=(0, 1, 2, 3, 4))(P, A, q, l, u)
+
+    def loss_p(P_, q_, A_, l_, u_, i):
+        x, y = player(P_, q_, A_, l_, u_)
+        return jnp.sum(wx[i] * x) + jnp.sum(wy[i] * y)
+
+    gP = np.zeros_like(P); gA = np.zeros_like(A)
+    gq = np.zeros_like(q); gl = np.zeros_like(l); gu = np.zeros_like(u)
+    for i in range(B):
+        gi = jax.grad(loss_p, argnums=(0, 1, 2, 3, 4))(
+            P, q[i], A, l[i], u[i], i)
+        gP += np.asarray(gi[0]); gq[i] = np.asarray(gi[1])
+        gA += np.asarray(gi[2]); gl[i] = np.asarray(gi[3])
+        gu[i] = np.asarray(gi[4])
+
+    np.testing.assert_allclose(np.asarray(gb[0]), gP, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(gb[1]), gA, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(gb[2]), gq, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(gb[3]), gl, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(gb[4]), gu, atol=2e-6)
+
+
+def test_batched_layer_jit_grad_composes():
+    from osqp_tpu.diff import make_batched_qp_layer
+    P, A, q, l, u = _batched_problem(seed=6)
+    blayer = make_batched_qp_layer(Settings(**TIGHT))
+
+    @jax.jit
+    def loss(q_):
+        x, _ = blayer(P, A, q_, l, u)
+        return jnp.sum(x ** 2)
+
+    g = jax.grad(loss)(jnp.asarray(q))
+    assert np.isfinite(np.asarray(g)).all()
+    # descent direction sanity: a small step reduces the loss
+    l0 = float(loss(jnp.asarray(q)))
+    l1 = float(loss(jnp.asarray(q) - 1e-3 * g))
+    assert l1 < l0
+
+
+def test_batched_layer_poisons_failed_lanes():
+    """A lane that fails to solve NaNs its own q̄ (and the shared P̄/Ā sums,
+    loudly) while the solved lanes' per-lane gradients stay clean in the
+    lane-local cotangents."""
+    from osqp_tpu.diff import make_batched_qp_layer
+    P, A, q, l, u = _batched_problem(seed=7)
+    blayer = make_batched_qp_layer(
+        Settings(eps_abs=1e-12, eps_rel=1e-12, max_iter=4, verbose=False,
+                 dtype=np.float64, adaptive_rho=False))
+
+    def loss(q_):
+        x, _ = blayer(P, A, q_, l, u)
+        return jnp.sum(x ** 2)
+
+    g = np.asarray(jax.grad(loss)(jnp.asarray(q)))
+    assert np.isnan(g).any()
