@@ -75,18 +75,27 @@ def _kkt_adjoint_solve(P, A, mask, xbar, ybar_act, delta, refine_iters):
     def t(v):
         return A.T @ (mask * v)
 
+    eye = jnp.eye(n, dtype=dtype)
     if m > 0:
         Ma = mask[:, None] * A
-        R = P + delta * jnp.eye(n, dtype=dtype) + (Ma.T @ Ma) / delta
+        R = P + delta * eye + (Ma.T @ Ma) / delta
     else:
-        R = P + delta * jnp.eye(n, dtype=dtype)
+        R = P + delta * eye
     L = chol_factor(sym(R))
+    # explicit inverse (one n-rhs triangular-solve pair) so the refinement
+    # loop's solves become plain matmuls: under vmap, batched triangular
+    # solves serialize per column on TPU and the 1+refine_iters of them
+    # dominated the whole adjoint (measured 455 ms/step at B=4096, n=128 —
+    # the same trade the batched engines' "inverse" kkt_mode makes). The
+    # refinement against the exact, unregularized KKT absorbs the
+    # inverse's extra rounding exactly as it absorbs delta's.
+    Rinv = chol_solve(L, eye)
 
     rhs1 = xbar
     rhs2 = mask * ybar_act if m > 0 else ybar_act
 
     def solve_reg(r1, r2):
-        dx = chol_solve(L, r1 + (t(r2) / delta if m > 0 else 0.0))
+        dx = Rinv @ (r1 + (t(r2) / delta if m > 0 else 0.0))
         if m > 0:
             dnu = mask * ((A @ dx) - r2) / delta
         else:
