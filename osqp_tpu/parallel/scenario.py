@@ -41,10 +41,10 @@ from ..settings import Settings
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "k", "max_outer", "group", "interpret", "adaptive"))
+    "k", "max_outer", "group", "interpret", "adaptive", "tf32"))
 def _fused_consensus(Pd, Ad, qd, ld, ud, dyn, scaling, gamma, eps,
                      k: int, max_outer: int, group: int,
-                     interpret: bool, adaptive: bool):
+                     interpret: bool, adaptive: bool, tf32: bool = False):
     """The whole consensus loop as one jitted while_loop (cached per shape
     and static config — repeated solves never retrace)."""
     from ..shared_core import solve_shared
@@ -58,7 +58,7 @@ def _fused_consensus(Pd, Ad, qd, ld, ud, dyn, scaling, gamma, eps,
         q_aug = qd.at[:, :k].add(lam - gamma * w_bar[None, :])
         out = solve_shared(Pd, Ad, q_aug, ld, ud, dyn, scaling, x, y,
                            group=group, interpret=interpret,
-                           adaptive=adaptive)
+                           adaptive=adaptive, tf32=tf32)
         ws = out.x[:, :k]
         w_new = jnp.mean(ws, axis=0)
         pri2 = jnp.max(jnp.abs(ws - w_new[None, :]))
@@ -188,7 +188,8 @@ class ScenarioQP:
             dyn, jnp.int32(s.scaling),
             jnp.asarray(self.gamma, dtype), jnp.asarray(self.eps, dtype),
             k=k, max_outer=self.max_outer, group=group,
-            interpret=interpret, adaptive=bool(s.adaptive_rho))
+            interpret=interpret, adaptive=bool(s.adaptive_rho),
+            tf32=s.tf32())
         return ScenarioResult(
             w=np.asarray(w_bar, float), z=np.asarray(x, float),
             outer_iters=int(it),

@@ -89,3 +89,22 @@ def test_scenario_fused_matches_host_loop():
     assert sf.converged and sh.converged
     assert sf.outer_iters == sh.outer_iters
     np.testing.assert_allclose(sf.w, sh.w, atol=1e-8)
+
+
+def test_scenario_tf32_converges_to_same_consensus():
+    """ScenarioQP threads Settings.matmul_precision into the fused outer
+    loop: the tf32 run must converge to the same consensus block within
+    the consensus tolerance."""
+    import numpy as np
+    P, q, A, l, u = make_scenario_problem(seed=5)
+    res = {}
+    for mp in ("float32", "tensorfloat32"):
+        solver = ScenarioQP(
+            k=3, gamma=2.0, eps_consensus=1e-4, max_outer=300,
+            settings=Settings(verbose=False, eps_abs=1e-6, eps_rel=1e-6,
+                              dtype=np.float32, matmul_precision=mp))
+        r = solver.solve(P, q, A, l, u)
+        assert r.converged, mp
+        res[mp] = np.asarray(r.w)
+    np.testing.assert_allclose(res["float32"], res["tensorfloat32"],
+                               atol=5e-4)
