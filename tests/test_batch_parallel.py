@@ -385,3 +385,27 @@ def test_batched_update_settings():
     assert (np.asarray(out1.status) == 1).all()
     assert float(np.asarray(out1.pri_res).max()) <= 1e-6
     assert np.asarray(out1.iter).max() >= np.asarray(out0.iter).max()
+
+
+def test_batched_sharded_mesh_tf32_matches_single_device():
+    """tf32 under shard_map: the stall detector's cross-device pmin and the
+    statically-typed two-loop fallback must produce the same statuses as
+    the single-device tf32 shared engine."""
+    assert len(jax.devices()) == 8, "conftest must force 8 cpu devices"
+    mesh = batch_mesh(8)
+    B, n, m = 16, 8, 12
+    P, q, A, l, u = make_batch(B, n, m, seed=2)
+    st = Settings(verbose=False, eps_abs=1e-5, eps_rel=1e-5,
+                  dtype=np.float32, matmul_precision="tensorfloat32")
+    out = BatchedSolver(settings=st, mesh=mesh,
+                        kkt_mode="shared").solve(P, q, A, l, u)
+    ref = BatchedSolver(settings=st, kkt_mode="shared").solve(P, q, A, l, u)
+    np.testing.assert_array_equal(np.asarray(out.status),
+                                  np.asarray(ref.status))
+    assert np.all(np.asarray(out.status) == 1)
+    # per-device grouping reorders the split-product roundings, so tf32
+    # iterates drift more than the f32 mesh test's 1e-7 — both runs meet
+    # eps 1e-5 residuals; compare at the solution-accuracy scale
+    np.testing.assert_allclose(np.asarray(out.x), np.asarray(ref.x),
+                               atol=2e-3)
+    assert len(out.x.sharding.device_set) == 8
