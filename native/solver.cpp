@@ -526,6 +526,17 @@ static int admm_solve(Work& w) {
   bool timing_rho = w.st.adaptive_rho && w.st.adaptive_rho_interval <= 0;
   idx interval = w.st.adaptive_rho_interval > 0 ? w.st.adaptive_rho_interval
                                                 : 100;
+  // Automatic-mode ping-pong back-off (mirrors core.Carry.rho_dir/rho_gap/
+  // next_rho in the JAX engines): an accepted rho update that REVERSES
+  // direction vs the previous one doubles the gap to the next permitted
+  // update. Without it the schedule can limit-cycle on problems whose
+  // fixed-rho iteration converges (measured on a pure LP: any fixed rho
+  // reaches machine precision, the plain schedule ping-pongs rho 0.1<->0.6
+  // forever). User-pinned intervals keep exact fixed-interval semantics.
+  const bool rho_backoff = w.st.adaptive_rho_interval <= 0;
+  int rho_dir = 0;       // sign of the last accepted update (0 = none yet)
+  idx rho_gap = 0;       // current minimum gap (set on first accept)
+  idx next_rho = 0;      // first iteration allowed to update
   auto solve_t0 = std::chrono::steady_clock::now();
   if (w.st.verbose) {
     std::printf("tpuqp: n = %lld, m = %lld, nnz(P) = %lld, nnz(A) = %lld\n",
@@ -623,8 +634,21 @@ static int admm_solve(Work& w) {
       double est = std::clamp(w.rho_bar * std::sqrt(pr / dr), RHO_MIN, RHO_MAX);
       if (std::isfinite(est)) {
         w.rho_estimate = est;
-        if (est > w.rho_bar * w.st.adaptive_rho_tolerance ||
-            est < w.rho_bar / w.st.adaptive_rho_tolerance) {
+        if ((est > w.rho_bar * w.st.adaptive_rho_tolerance ||
+             est < w.rho_bar / w.st.adaptive_rho_tolerance) &&
+            (!rho_backoff || it >= next_rho)) {
+          const int dir_new = est > w.rho_bar ? 1 : -1;
+          if (rho_backoff) {
+            if (rho_gap == 0) rho_gap = interval > 0 ? interval : (idx)100;
+            // the gap never resets: it only doubles on direction reversals
+            // (paired oscillations like up,up,down,down would evade a
+            // reset-on-same-direction rule; monotone chains start at the
+            // interval so they keep full cadence)
+            if (dir_new * rho_dir < 0)
+              rho_gap = std::min<idx>(rho_gap * 2, (idx)1 << 24);
+            next_rho = it + rho_gap;
+          }
+          rho_dir = dir_new;
           w.rho_bar = est;
           set_rho_vec(w);
           if (!factor_kkt(w)) {

@@ -100,6 +100,13 @@ class BCarry(NamedTuple):
     dua_res: jnp.ndarray
     rho_estimate: jnp.ndarray
     rho_updates: jnp.ndarray  # (B,) int32
+    # per-lane ping-pong back-off for automatic-mode rho adaptation (same
+    # rule as core.Carry.rho_dir/rho_gap/next_rho — direction reversals
+    # double the per-lane gap to the next permitted update; active only
+    # when dyn.rho_backoff is set, i.e. adaptive_rho_interval was left auto)
+    rho_dir: jnp.ndarray      # (B,) int32
+    rho_gap: jnp.ndarray      # (B,) int32
+    next_rho: jnp.ndarray     # (B,) int32
 
 
 @with_precision
@@ -127,6 +134,10 @@ def solve_batch_scaled(sdata: QPData, scal: ScalingData, dyn: DynParams,
         pri_res=inf0, dua_res=inf0,
         rho_estimate=rho0,
         rho_updates=jnp.zeros((B,), jnp.int32),
+        rho_dir=jnp.zeros((B,), jnp.int32),
+        rho_gap=jnp.full((B,), jnp.maximum(dyn.adaptive_rho_interval, 1),
+                         jnp.int32),
+        next_rho=jnp.zeros((B,), jnp.int32),
     )
 
     check_t = jnp.maximum(dyn.check_termination, 1)
@@ -201,8 +212,21 @@ def solve_batch_scaled(sdata: QPData, scal: ScalingData, dyn: DynParams,
             est = jnp.clip(c.rho_bar * jnp.sqrt(ratio), C.RHO_MIN, C.RHO_MAX)
             est = jnp.where(jnp.isfinite(est), est, c.rho_bar)
             trig = (live & (status == C.RUNNING)
+                    & ((dyn.rho_backoff == 0) | (it >= c.next_rho))
                     & ((est > c.rho_bar * dyn.adaptive_rho_tolerance)
                        | (est < c.rho_bar / dyn.adaptive_rho_tolerance)))
+            # per-lane ping-pong back-off (see BCarry)
+            backoff = trig & (dyn.rho_backoff != 0)
+            dir_new = jnp.where(est > c.rho_bar, jnp.int32(1), jnp.int32(-1))
+            reversal = (dir_new * c.rho_dir) < 0
+            gap2 = jnp.where(
+                backoff,
+                jnp.where(reversal,
+                          jnp.minimum(c.rho_gap * 2, jnp.int32(1 << 24)),
+                          c.rho_gap),
+                c.rho_gap)
+            next2 = jnp.where(backoff, it + gap2, c.next_rho)
+            dir2 = jnp.where(trig, dir_new, c.rho_dir)
 
             def refactor(_):
                 rb = jnp.where(trig, est, c.rho_bar)
@@ -218,13 +242,14 @@ def solve_batch_scaled(sdata: QPData, scal: ScalingData, dyn: DynParams,
                 return (c.rho_bar, c.rho_vec, c.rho_inv, c.L, c.rho_updates)
 
             rb, rv, ri, Ln, ru = lax.cond(jnp.any(trig), refactor, keep, None)
-            return rb, rv, ri, Ln, ru, est
+            return rb, rv, ri, Ln, ru, est, dir2, gap2, next2
 
         def no_adapt(_):
             return (c.rho_bar, c.rho_vec, c.rho_inv, c.L, c.rho_updates,
-                    c.rho_estimate)
+                    c.rho_estimate, c.rho_dir, c.rho_gap, c.next_rho)
 
-        rho_bar2, rho_vec2, rho_inv2, L2, rho_upd2, rho_est2 = lax.cond(
+        (rho_bar2, rho_vec2, rho_inv2, L2, rho_upd2, rho_est2,
+         rho_dir2, rho_gap2, next_rho2) = lax.cond(
             do_rho, adapt, no_adapt, None)
 
         track = do_check | do_rho
@@ -236,6 +261,7 @@ def solve_batch_scaled(sdata: QPData, scal: ScalingData, dyn: DynParams,
             dua_res=jnp.where(track & live, res.dua_res, c.dua_res),
             rho_estimate=jnp.where(do_rho & live, rho_est2, c.rho_estimate),
             rho_updates=rho_upd2,
+            rho_dir=rho_dir2, rho_gap=rho_gap2, next_rho=next_rho2,
         )
 
     final = lax.while_loop(cond_fun, body_fun, carry0)
@@ -344,6 +370,10 @@ def solve_batch_fused(sdata: QPData, scal: ScalingData, dyn: DynParams,
         pri_res=inf0, dua_res=inf0,
         rho_estimate=rho0,
         rho_updates=jnp.zeros((B,), jnp.int32),
+        rho_dir=jnp.zeros((B,), jnp.int32),
+        rho_gap=jnp.full((B,), jnp.maximum(dyn.adaptive_rho_interval, 1),
+                         jnp.int32),
+        next_rho=jnp.zeros((B,), jnp.int32),
     )
 
     def cond_fun(c: BCarry):
@@ -384,8 +414,21 @@ def solve_batch_fused(sdata: QPData, scal: ScalingData, dyn: DynParams,
             est = jnp.clip(c.rho_bar * jnp.sqrt(ratio), C.RHO_MIN, C.RHO_MAX)
             est = jnp.where(jnp.isfinite(est), est, c.rho_bar)
             trig = (live & (status == C.RUNNING)
+                    & ((dyn.rho_backoff == 0) | (it >= c.next_rho))
                     & ((est > c.rho_bar * dyn.adaptive_rho_tolerance)
                        | (est < c.rho_bar / dyn.adaptive_rho_tolerance)))
+            # per-lane ping-pong back-off (see BCarry)
+            backoff = trig & (dyn.rho_backoff != 0)
+            dir_new = jnp.where(est > c.rho_bar, jnp.int32(1), jnp.int32(-1))
+            reversal = (dir_new * c.rho_dir) < 0
+            gap2 = jnp.where(
+                backoff,
+                jnp.where(reversal,
+                          jnp.minimum(c.rho_gap * 2, jnp.int32(1 << 24)),
+                          c.rho_gap),
+                c.rho_gap)
+            next2 = jnp.where(backoff, it + gap2, c.next_rho)
+            dir2 = jnp.where(trig, dir_new, c.rho_dir)
 
             def refactor(_):
                 rb = jnp.where(trig, est, c.rho_bar)
@@ -401,13 +444,14 @@ def solve_batch_fused(sdata: QPData, scal: ScalingData, dyn: DynParams,
                 return (c.rho_bar, c.rho_vec, c.rho_inv, c.L, c.rho_updates)
 
             rb, rv, ri, Ln, ru = lax.cond(jnp.any(trig), refactor, keep, None)
-            return rb, rv, ri, Ln, ru, est
+            return rb, rv, ri, Ln, ru, est, dir2, gap2, next2
 
         def no_adapt(_):
             return (c.rho_bar, c.rho_vec, c.rho_inv, c.L, c.rho_updates,
-                    c.rho_estimate)
+                    c.rho_estimate, c.rho_dir, c.rho_gap, c.next_rho)
 
-        rho_bar2, rho_vec2, rho_inv2, L2, rho_upd2, rho_est2 = lax.cond(
+        (rho_bar2, rho_vec2, rho_inv2, L2, rho_upd2, rho_est2,
+         rho_dir2, rho_gap2, next_rho2) = lax.cond(
             do_rho, adapt, no_adapt, None)
 
         return BCarry(
@@ -418,6 +462,7 @@ def solve_batch_fused(sdata: QPData, scal: ScalingData, dyn: DynParams,
             dua_res=jnp.where(live, res.dua_res, c.dua_res),
             rho_estimate=jnp.where(do_rho & live, rho_est2, c.rho_estimate),
             rho_updates=rho_upd2,
+            rho_dir=rho_dir2, rho_gap=rho_gap2, next_rho=next_rho2,
         )
 
     final = lax.while_loop(cond_fun, body_fun, carry0)

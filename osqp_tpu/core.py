@@ -291,6 +291,20 @@ class Carry(NamedTuple):
     dua_res: jnp.ndarray
     rho_estimate: jnp.ndarray
     rho_updates: jnp.ndarray  # int32
+    # --- automatic-mode adaptation back-off (ping-pong damping). OSQP-C's
+    # rho schedule can limit-cycle on problems whose fixed-rho iteration
+    # converges but whose pri/dua ratio wanders across the trigger band
+    # (measured: a pure LP converges to machine precision at any FIXED rho
+    # yet never terminates under the plain schedule — each reversal resets
+    # progress). When an accepted update REVERSES direction vs the previous
+    # one, the gap to the next permitted update doubles; same-direction
+    # updates keep the full cadence. Active only when
+    # adaptive_rho_interval<=0 (the automatic mode the reference leaves
+    # timing-based/nondeterministic, interface.jl settings surface) — a
+    # user-pinned interval keeps exact fixed-interval semantics.
+    rho_dir: jnp.ndarray      # int32: sign of the last accepted update (0 none)
+    rho_gap: jnp.ndarray      # int32: current min gap between updates
+    next_rho: jnp.ndarray     # int32: first iteration allowed to update
 
 
 def admm_step(sdata: QPData, dyn: DynParams, carry: Carry,
@@ -358,6 +372,9 @@ def solve_scaled(sdata: QPData, scal: ScalingData, dyn: DynParams,
         pri_res=inf0, dua_res=inf0,
         rho_estimate=jnp.asarray(fs.rho_bar, dtype),
         rho_updates=jnp.int32(0),
+        rho_dir=jnp.int32(0),
+        rho_gap=jnp.maximum(dyn.adaptive_rho_interval, 1).astype(jnp.int32),
+        next_rho=jnp.int32(0),
     )
 
     check_t = jnp.maximum(dyn.check_termination, 1)
@@ -373,7 +390,8 @@ def solve_scaled(sdata: QPData, scal: ScalingData, dyn: DynParams,
         dy_bar = y_new - c.y
 
         do_check = (dyn.check_termination > 0) & (it % check_t == 0)
-        do_rho = ((dyn.adaptive_rho != 0) & (it % rho_int == 0))
+        do_rho = ((dyn.adaptive_rho != 0) & (it % rho_int == 0)
+                  & (it >= c.next_rho))
 
         def with_check(_):
             status, res = termination_status(
@@ -421,6 +439,19 @@ def solve_scaled(sdata: QPData, scal: ScalingData, dyn: DynParams,
         rho_bar2, rho_vec2, rho_inv2, L2, rho_upd2 = lax.cond(
             trigger, refactor, keep, None)
 
+        # ping-pong back-off bookkeeping (automatic mode only; see Carry)
+        backoff = dyn.rho_backoff != 0
+        dir_new = jnp.where(rho_est > c.rho_bar, jnp.int32(1), jnp.int32(-1))
+        reversal = (dir_new * c.rho_dir) < 0
+        gap2 = jnp.where(
+            trigger & backoff,
+            jnp.where(reversal,
+                      jnp.minimum(c.rho_gap * 2, jnp.int32(1 << 24)),
+                      c.rho_gap),
+            c.rho_gap)
+        next2 = jnp.where(trigger & backoff, it + gap2, c.next_rho)
+        dir2 = jnp.where(trigger, dir_new, c.rho_dir)
+
         rho_est_out = jnp.where(do_rho, rho_est, c.rho_estimate)
 
         if verbose:
@@ -444,6 +475,7 @@ def solve_scaled(sdata: QPData, scal: ScalingData, dyn: DynParams,
             pri_res=jnp.where(do_check | do_rho, res.pri_res, c.pri_res),
             dua_res=jnp.where(do_check | do_rho, res.dua_res, c.dua_res),
             rho_estimate=rho_est_out, rho_updates=rho_upd2,
+            rho_dir=dir2, rho_gap=gap2, next_rho=next2,
         )
 
     final = lax.while_loop(cond_fun, body_fun, carry0)
@@ -550,6 +582,7 @@ _DYN_MEMO: dict = {}
 def dyn_from_settings(settings, dtype) -> DynParams:
     """Build the traced parameter bundle from a Settings object (memoized)."""
     interval = settings.adaptive_rho_interval
+    backoff = 1 if interval <= 0 else 0
     if interval <= 0:
         interval = C.ADAPTIVE_RHO_FIXED
     cg_tol = settings.cg_tol
@@ -561,7 +594,7 @@ def dyn_from_settings(settings, dtype) -> DynParams:
            settings.eps_prim_inf, settings.eps_dual_inf, settings.max_iter,
            settings.check_termination, bool(settings.adaptive_rho), interval,
            settings.adaptive_rho_tolerance, bool(settings.scaled_termination),
-           cg_tol, settings.cg_max_iter)
+           cg_tol, settings.cg_max_iter, backoff)
     hit = _DYN_MEMO.get(key)
     if hit is not None:
         return hit
@@ -583,6 +616,7 @@ def dyn_from_settings(settings, dtype) -> DynParams:
         cg_tol=f(cg_tol),
         cg_max_iter=i(settings.cg_max_iter),
         start_iter=i(0),
+        rho_backoff=i(backoff),
     )
     if len(_DYN_MEMO) > 256:  # runaway-sweep backstop
         _DYN_MEMO.clear()

@@ -179,6 +179,59 @@ def ill_conditioned_qp(n=40, m=60, cond=1e6, seed=0):
     return P, q, A, c - w, c + w
 
 
+def lp_qp(n=40, m=80, seed=0, margin=0.5):
+    """Pure LP (P = 0) with a strictly complementary optimal vertex.
+
+    Exercises the positive-SEMIdefinite edge the reference inherits from
+    OSQP-C (P = 0 is legal input — only indefinite P errors,
+    reference src/interface.jl:45-108 setup path): Ruiz scaling with a zero
+    cost block, dual residual without a P term, and polish on a vertex
+    solution.
+
+    Constructed backwards from the optimum so difficulty is controlled (the
+    family's analogue of ill_conditioned_qp's ``cond`` knob): pick x*, make
+    exactly n rows active (half random rows, half box rows) with dual
+    multipliers of magnitude >= ``margin`` and give every inactive row
+    slack >= ``margin``. Strict complementarity with margin keeps the
+    operator-splitting active-set identification fast; shrinking ``margin``
+    toward 0 recovers the degenerate slow-tail LPs where first-order
+    methods (the reference included) need 1e5-1e6 iterations at tight eps."""
+    rng = np.random.RandomState(seed)
+    assert m >= n // 2
+    x_star = rng.randn(n)
+    A_r = rng.randn(m, n) / np.sqrt(n)
+    A = np.vstack([A_r, np.eye(n)])
+    b = A @ x_star                     # row values at the optimum
+    # active set: n rows total — first ceil(n/2) random rows, rest box rows
+    k_r = (n + 1) // 2
+    act = np.concatenate([np.arange(k_r), m + k_r + np.arange(n - k_r)])
+    y = np.zeros(m + n)
+    y[act] = (margin + rng.rand(n)) * np.where(rng.rand(n) < 0.5, 1.0, -1.0)
+    q = -(A.T @ y)                     # stationarity: q + A'y = 0 at x*
+    # bounds: active rows tight on the side y's sign requires (y>0 -> u
+    # active, y<0 -> l active); every other side/row gets >= margin slack
+    slack = margin + rng.rand(m + n)
+    l = b - slack
+    u = b + slack
+    l[act] = np.where(y[act] < 0, b[act], b[act] - slack[act])
+    u[act] = np.where(y[act] > 0, b[act], b[act] + slack[act])
+    return np.zeros((n, n)), q, A, l, u
+
+
+def box_qp(n=50, seed=0):
+    """Box-constrained QP (A = I): min 0.5 x'Px + q'x s.t. l <= x <= u,
+    with a mix of active and inactive bounds at the optimum (bound-
+    constrained Maros-Meszaros instances; the simplest projection geometry
+    — z-step is a pure clip)."""
+    rng = np.random.RandomState(seed)
+    M = rng.randn(n, n)
+    P = M.T @ M / n + 0.1 * np.eye(n)
+    q = rng.randn(n) * 2.0  # strong pull: several bounds active at x*
+    half = 0.2 + rng.rand(n)
+    center = rng.randn(n) * 0.1
+    return P, q, np.eye(n), center - half, center + half
+
+
 def degenerate_qp(n=30, m=50, seed=0):
     """Degenerate QP: rank-deficient P (rank n/2), duplicated constraint
     rows, and redundant rows — exercising the semidefinite/primal-degenerate
@@ -211,6 +264,8 @@ FAMILIES = {
     "svm_qp": svm_qp,
     "ill_conditioned_qp": ill_conditioned_qp,
     "degenerate_qp": degenerate_qp,
+    "lp_qp": lp_qp,
+    "box_qp": box_qp,
 }
 
 #: Size grid for the Maros-Meszaros-class parity sweep (scripts/conformance.py):
@@ -241,4 +296,8 @@ SIZE_GRID = {
                            ("L", dict(n=250, m=400, cond=1e8))],
     "degenerate_qp": [("S", dict(n=30, m=50)), ("M", dict(n=100, m=160)),
                       ("L", dict(n=250, m=400))],
+    "lp_qp": [("S", dict(n=40, m=80)), ("M", dict(n=120, m=240)),
+              ("L", dict(n=300, m=600))],
+    "box_qp": [("S", dict(n=50)), ("M", dict(n=150)),
+               ("L", dict(n=400))],
 }

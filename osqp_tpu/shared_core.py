@@ -266,6 +266,12 @@ class SCarry(NamedTuple):
     # for the stall detector.
     fine: jnp.ndarray       # scalar bool: full-precision phase reached
     last_ratio: jnp.ndarray  # scalar dtype
+    # shared-rho ping-pong back-off (same rule as core.Carry — a direction
+    # reversal doubles the gap to the next permitted update; automatic
+    # interval mode only, dyn.rho_backoff)
+    rho_dir: jnp.ndarray    # scalar int32
+    rho_gap: jnp.ndarray    # scalar int32
+    next_rho: jnp.ndarray   # scalar int32
 
 
 def _shared_rho_vec(loose, eq, rho_bar):
@@ -366,6 +372,9 @@ def solve_batch_shared(P, A, qb, lb, ub, scal: SharedScaling, dyn: DynParams,
         nlive=jnp.int32(B),
         fine=jnp.asarray(not (lowp or tf32)),
         last_ratio=jnp.asarray(jnp.inf, dtype),
+        rho_dir=jnp.int32(0),
+        rho_gap=jnp.asarray(rho_int, jnp.int32),
+        next_rho=jnp.int32(0),
     )
 
     G = min(group, B)
@@ -503,6 +512,7 @@ def solve_batch_shared(P, A, qb, lb, ub, scal: SharedScaling, dyn: DynParams,
             # would report exp(0)=1; keep the rho actually in use instead
             est = jnp.where(_gany(still), est, c.rho_bar)
             trig = (_gany(still)
+                    & ((dyn.rho_backoff == 0) | (it >= c.next_rho))
                     & ((est > c.rho_bar * dyn.adaptive_rho_tolerance)
                        | (est < c.rho_bar / dyn.adaptive_rho_tolerance)))
 
@@ -517,13 +527,29 @@ def solve_batch_shared(P, A, qb, lb, ub, scal: SharedScaling, dyn: DynParams,
                         c.rho_updates)
 
             rb, rv, ri, Ri, ru = lax.cond(trig, refactor, keep, None)
-            return rb, rv, ri, Ri, ru, est
+            # ping-pong back-off (see SCarry; identical on every device —
+            # est/trig are psum-aggregated, so the schedule stays in
+            # lockstep under shard_map)
+            backoff = trig & (dyn.rho_backoff != 0)
+            dir_new = jnp.where(est > c.rho_bar, jnp.int32(1),
+                                jnp.int32(-1))
+            reversal = (dir_new * c.rho_dir) < 0
+            gap2 = jnp.where(
+                backoff,
+                jnp.where(reversal,
+                          jnp.minimum(c.rho_gap * 2, jnp.int32(1 << 24)),
+                          c.rho_gap),
+                c.rho_gap)
+            next2 = jnp.where(backoff, it + gap2, c.next_rho)
+            dir2 = jnp.where(trig, dir_new, c.rho_dir)
+            return rb, rv, ri, Ri, ru, est, dir2, gap2, next2
 
         def no_adapt(_):
             return (c.rho_bar, c.rho_vec, c.rho_inv, c.Rinv, c.rho_updates,
-                    c.rho_estimate)
+                    c.rho_estimate, c.rho_dir, c.rho_gap, c.next_rho)
 
-        rho_bar2, rho_vec2, rho_inv2, Rinv2, rho_upd2, rho_est2 = lax.cond(
+        (rho_bar2, rho_vec2, rho_inv2, Rinv2, rho_upd2, rho_est2,
+         rho_dir2, rho_gap2, next_rho2) = lax.cond(
             do_rho, adapt, no_adapt, None)
 
         if lowp or leg_tf32:
@@ -562,6 +588,7 @@ def solve_batch_shared(P, A, qb, lb, ub, scal: SharedScaling, dyn: DynParams,
             rho_updates=rho_upd2,
             qb=c.qb, lb=c.lb, ub=c.ub, order=c.order, nlive=c.nlive,
             fine=fine2, last_ratio=last_ratio2,
+            rho_dir=rho_dir2, rho_gap=rho_gap2, next_rho=next_rho2,
         )
         if not compact:
             return nxt

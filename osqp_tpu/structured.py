@@ -424,6 +424,10 @@ class TCarry(NamedTuple):
     dua_res: jnp.ndarray
     rho_estimate: jnp.ndarray
     rho_updates: jnp.ndarray
+    # shared-rho ping-pong back-off (core.Carry rule; automatic mode only)
+    rho_dir: jnp.ndarray    # scalar int32
+    rho_gap: jnp.ndarray    # scalar int32
+    next_rho: jnp.ndarray   # scalar int32
 
 
 class BRes(NamedTuple):
@@ -618,6 +622,9 @@ def solve_banded(data: BandedData, qb, lb, ub, scal: BandedScaling,
         iters=jnp.zeros((B,), jnp.int32),
         pri_res=inf0, dua_res=inf0,
         rho_estimate=rho0, rho_updates=jnp.int32(0),
+        rho_dir=jnp.int32(0),
+        rho_gap=jnp.asarray(rho_int, jnp.int32),
+        next_rho=jnp.int32(0),
     )
 
     def cond_fun(c: TCarry):
@@ -681,6 +688,7 @@ def solve_banded(data: BandedData, qb, lb, ub, scal: BandedScaling,
             est = jnp.clip(est, C.RHO_MIN, C.RHO_MAX)
             est = jnp.where(jnp.any(still), est, c.rho_bar)
             trig = (jnp.any(still)
+                    & ((dyn.rho_backoff == 0) | (it >= c.next_rho))
                     & ((est > c.rho_bar * dyn.adaptive_rho_tolerance)
                        | (est < c.rho_bar / dyn.adaptive_rho_tolerance)))
 
@@ -693,14 +701,28 @@ def solve_banded(data: BandedData, qb, lb, ub, scal: BandedScaling,
                         c.rho_updates)
 
             rb, rv, ri, facn, ru = lax.cond(trig, refactor, keep, None)
-            return rb, rv, ri, facn, ru, est
+            # ping-pong back-off (see TCarry)
+            backoff = trig & (dyn.rho_backoff != 0)
+            dir_new = jnp.where(est > c.rho_bar, jnp.int32(1),
+                                jnp.int32(-1))
+            reversal = (dir_new * c.rho_dir) < 0
+            gap2 = jnp.where(
+                backoff,
+                jnp.where(reversal,
+                          jnp.minimum(c.rho_gap * 2, jnp.int32(1 << 24)),
+                          c.rho_gap),
+                c.rho_gap)
+            next2 = jnp.where(backoff, it + gap2, c.next_rho)
+            dir2 = jnp.where(trig, dir_new, c.rho_dir)
+            return rb, rv, ri, facn, ru, est, dir2, gap2, next2
 
         def no_adapt(_):
             return (c.rho_bar, c.rho_vec, c.rho_inv, c.fac,
-                    c.rho_updates, c.rho_estimate)
+                    c.rho_updates, c.rho_estimate,
+                    c.rho_dir, c.rho_gap, c.next_rho)
 
-        rb2, rv2, ri2, fac2, ru2, re2 = lax.cond(do_rho, adapt, no_adapt,
-                                                 None)
+        (rb2, rv2, ri2, fac2, ru2, re2,
+         rd2, rg2, nr2) = lax.cond(do_rho, adapt, no_adapt, None)
 
         return TCarry(
             x=x_new, y=y_new, z=z_new, x_prev=x_prev, y_prev=y_prev,
@@ -712,6 +734,7 @@ def solve_banded(data: BandedData, qb, lb, ub, scal: BandedScaling,
                               c.dua_res),
             rho_estimate=jnp.where(do_rho, re2, c.rho_estimate),
             rho_updates=ru2,
+            rho_dir=rd2, rho_gap=rg2, next_rho=nr2,
         )
 
     final = lax.while_loop(cond_fun, body_fun, carry0)

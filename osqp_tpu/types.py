@@ -74,6 +74,11 @@ class DynParams(NamedTuple):
     start_iter: Any = 0       # int32 global iteration offset (chunked
                               # time-limit driver: keeps check/rho cadence
                               # aligned across chunks)
+    rho_backoff: Any = 1      # int32 flag: ping-pong back-off on automatic
+                              # rho adaptation (set iff the user left
+                              # adaptive_rho_interval at 0/auto; pinned
+                              # intervals keep exact fixed-interval
+                              # reference semantics — see core.Carry)
 
 
 class SolveOutput(NamedTuple):

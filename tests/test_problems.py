@@ -12,6 +12,13 @@ from osqp_tpu.utils.npref import solve_np
 
 EPS = 1e-5
 
+#: Pure LPs are the known slow tail of operator splitting (no strong
+#: convexity: first-order LP convergence at tight eps takes 1e5-1e6
+#: iterations — the reference behaves identically). The reference's intended
+#: LP usage is its DEFAULT eps (1e-3) + polish: the polished active-set
+#: solve is then exact (~1e-8, asserted via the KKT gate below).
+FAMILY_EPS = {"lp_qp": 1e-3}
+
 
 def kkt_violation(P, q, A, l, u, x, y):
     stat = np.linalg.norm(P @ x + q + A.T @ y, np.inf)
@@ -27,13 +34,18 @@ def kkt_violation(P, q, A, l, u, x, y):
 @pytest.mark.parametrize("family", sorted(FAMILIES))
 def test_family_solves_and_satisfies_kkt(family):
     P, q, A, l, u = FAMILIES[family]()
+    eps = FAMILY_EPS.get(family, EPS)
     model = osqp.Model()
     model.setup(P=P, q=q, A=A, l=l, u=u, verbose=False,
-                eps_abs=EPS, eps_rel=EPS, max_iter=20000, polish=True)
+                eps_abs=eps, eps_rel=eps, max_iter=30000, polish=True)
     r = model.solve()
     assert r.info.status == "Solved", f"{family}: {r.info.status}"
     tol = 1e-3
     assert kkt_violation(P, q, A, l, u, r.x, r.y) < tol, family
+    if family == "lp_qp":
+        # the polish pass must rescue the loose-eps LP solve to exactness
+        assert r.info.status_polish == 1
+        assert kkt_violation(P, q, A, l, u, r.x, r.y) < 1e-6
 
 
 @pytest.mark.parametrize("family", ["random_qp", "portfolio_qp", "lasso_qp"])
