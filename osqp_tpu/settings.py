@@ -101,8 +101,14 @@ class Settings:
     #: fuzz tested); lanes that are convergence-marginal in f32 itself
     #: (inaccurate/max-iter at the iteration budget) may move between
     #: those marginal statuses, as under any trajectory perturbation.
-    #: Requires dtype float32; ignored by the non-shared engines;
-    #: superseded by ``mixed_precision`` when both are set.
+    #: Requires dtype float32; superseded by ``mixed_precision`` when both
+    #: are set. Honored by the shared batched engine (in-kernel splits),
+    #: ScenarioQP (fused consensus loop), and BlockTridiagSolver (the
+    #: per-iteration banded products — rhs assembly, block-tridiagonal KKT
+    #: apply, Ax — run tf32; factorization/termination/certificates/polish
+    #: stay f32; no stall fallback: the banded engine's regime is
+    #: eps>=1e-3 MPC where tf32 noise (~1e-6) is far below tolerance).
+    #: Ignored by the other engines (dense Model, native, sparse, f64).
     matmul_precision: str = "float32"
 
     def __post_init__(self):

@@ -567,15 +567,28 @@ class TFactor(NamedTuple):
 @with_precision
 def solve_banded(data: BandedData, qb, lb, ub, scal: BandedScaling,
                  dyn: DynParams, x0, y0, z0, factor0: TFactor = None,
-                 with_factor: bool = False, kkt: str = "cr"):
+                 with_factor: bool = False, kkt: str = "cr",
+                 tf32: bool = False):
     """Batched banded ADMM on scaled data. qb (B, n); lb/ub (B, m);
     x0 (B, T, b); y0/z0 (B, m). Returns a dict of result leaves (plus the
     final :class:`TFactor` when ``with_factor``).
 
     ``kkt`` selects the block-tridiagonal factorization: ``"cr"`` (block
     cyclic reduction, O(log T) sequential depth — the TPU default) or
-    ``"scan"`` (the classic O(T) block-Cholesky recurrence)."""
+    ``"scan"`` (the classic O(T) block-Cholesky recurrence).
+
+    ``tf32`` (``Settings.matmul_precision="tensorfloat32"``, shared-engine
+    semantics): the per-ITERATION block products — rhs assembly, the
+    block-tridiagonal KKT apply, and the Ax projection input — run as
+    3-pass bf16-split matmuls; the factorization, residual/termination
+    math, certificates, and polish stay full f32."""
     dtype = data.Pd.dtype
+
+    def _iter_prec():
+        # fresh context manager per use (trace-time scoping)
+        import contextlib
+        return (jax.default_matmul_precision("tensorfloat32") if tf32
+                else contextlib.nullcontext())
 
     def _make_factor(rv):
         Dblk, Eblk = _banded_normal_blocks(data, rv, dyn.sigma)
@@ -635,10 +648,11 @@ def solve_banded(data: BandedData, qb, lb, ub, scal: BandedScaling,
         lx = live[:, None, None]
         lv = live[:, None]
 
-        rhs = (dyn.sigma * c.x - qblk
-               + _aty(data, c.rho_vec * c.z - c.y))
-        xt = _solve_R(c.fac, rhs)
-        zt = _ax(data, xt)
+        with _iter_prec():
+            rhs = (dyn.sigma * c.x - qblk
+                   + _aty(data, c.rho_vec * c.z - c.y))
+            xt = _solve_R(c.fac, rhs)
+            zt = _ax(data, xt)
         x_new = dyn.alpha * xt + (1.0 - dyn.alpha) * c.x
         v = dyn.alpha * zt + (1.0 - dyn.alpha) * c.z + c.rho_inv * c.y
         z_new = jnp.clip(v, lb, ub)
@@ -795,7 +809,7 @@ def solve_banded(data: BandedData, qb, lb, ub, scal: BandedScaling,
 
 
 _solve_banded_jit = jax.jit(solve_banded,
-                            static_argnames=("with_factor", "kkt"))
+                            static_argnames=("with_factor", "kkt", "tf32"))
 
 
 # ---------------------------------------------------------------------------
@@ -898,7 +912,7 @@ _polish_banded_jit = jax.jit(polish_banded, static_argnames=("kkt",))
 
 def _banded_rollout_impl(data, scal, q0, l0, u0, x0, y0, dyn,
                          factor0: TFactor, step_fn, n_steps: int,
-                         keep_xs: bool, kkt: str):
+                         keep_xs: bool, kkt: str, tf32: bool = False):
     """Jitted closed-loop rollout over banded re-solves: lax.scan carries
     warm starts and the TFactor step to step (same pattern as
     batch._rollout_impl)."""
@@ -914,7 +928,8 @@ def _banded_rollout_impl(data, scal, q0, l0, u0, x0, y0, dyn,
         yb = y * (scal.c * scal.Einv)
         zb = _ax(data, xb)
         out, fac2 = solve_banded(data, qb, lb, ub, scal, dyn, xb, yb, zb,
-                                 factor0=fac, with_factor=True, kkt=kkt)
+                                 factor0=fac, with_factor=True, kkt=kkt,
+                                 tf32=tf32)
         q2, l2, u2 = step_fn(out["x"], (q, l, u), k)
         per_step = dict(status=out["status"], iter=out["iter"],
                         obj_val=out["obj_val"])
@@ -930,7 +945,7 @@ def _banded_rollout_impl(data, scal, q0, l0, u0, x0, y0, dyn,
 
 _banded_rollout_jit = jax.jit(
     _banded_rollout_impl,
-    static_argnames=("step_fn", "n_steps", "keep_xs", "kkt"))
+    static_argnames=("step_fn", "n_steps", "keep_xs", "kkt", "tf32"))
 
 
 # ---------------------------------------------------------------------------
@@ -1115,7 +1130,8 @@ class BlockTridiagSolver:
         else:
             out, self._factor = _solve_banded_jit(
                 self._data, qb, lb, ub, scal, dyn, xb, yb, zb,
-                factor0=factor0, with_factor=True, kkt=self._kkt)
+                factor0=factor0, with_factor=True, kkt=self._kkt,
+                tf32=s.tf32())
             out = dict(out)
 
         if s.polish:
@@ -1186,7 +1202,8 @@ class BlockTridiagSolver:
                     final_approx=jnp.int32(1 if is_final else 0))
                 out, fac = _solve_banded_jit(
                     self._data, qb, lb, ub, self._scal, dyn_c, xb, yb, zb,
-                    factor0=fac, with_factor=True, kkt=self._kkt)
+                    factor0=fac, with_factor=True, kkt=self._kkt,
+                    tf32=s.tf32())
                 jax.block_until_ready(out["x"])
                 st = np.asarray(out["status"])
                 it = np.asarray(out["iter"])
@@ -1271,7 +1288,7 @@ class BlockTridiagSolver:
         outs, (xf, yf), fac = _banded_rollout_jit(
             self._data, self._scal, q0, l0, u0, x0, y0, dyn, fac,
             step_fn=step_fn, n_steps=int(n_steps), keep_xs=bool(keep_xs),
-            kkt=self._kkt)
+            kkt=self._kkt, tf32=self.settings.tf32())
         self._factor = fac
         outs = dict(outs)
         outs["x"] = xf

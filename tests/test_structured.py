@@ -485,3 +485,32 @@ def test_structured_time_limit_freezes_finished_lanes():
     np.testing.assert_allclose(np.asarray(out["x"])[0], np.zeros(n),
                                atol=1e-12)
     assert np.isnan(np.asarray(out["x"])[1]).all()
+
+
+def test_structured_tf32_status_parity():
+    """matmul_precision='tensorfloat32' on the banded engine (round-4): the
+    per-iteration block products run as 3-pass bf16 splits while
+    factorization/termination/polish stay f32. At the engine's MPC regime
+    (f32, eps 1e-3) statuses must match the f32 run exactly and iterates
+    agree at eps scale. (On CPU the precision hint is a no-op — this pins
+    the code path/compilation; the numeric delta is exercised on TPU by
+    scripts/bench_structured.py --matmul-precision.)"""
+    P, q, A, l, u = control_qp(nx=4, nu=2, T=6, seed=3)
+    B = 3
+    rng = np.random.RandomState(7)
+    qs = np.tile(q, (B, 1)) + 0.05 * rng.randn(B, q.size)
+    ls, us = np.tile(l, (B, 1)), np.tile(u, (B, 1))
+    outs = {}
+    for mp in ("float32", "tensorfloat32"):
+        st = BlockTridiagSolver().setup(
+            P=sp.csc_matrix(P), A=sp.csc_matrix(A), block=6,
+            eps_abs=1e-3, eps_rel=1e-3, max_iter=4000, verbose=False,
+            polish=True, dtype=np.float32, matmul_precision=mp)
+        outs[mp] = st.solve(qs, ls, us)
+    s_f32 = np.asarray(outs["float32"]["status"])
+    s_tf = np.asarray(outs["tensorfloat32"]["status"])
+    assert np.all(s_f32 == 1)
+    np.testing.assert_array_equal(s_f32, s_tf)
+    np.testing.assert_allclose(np.asarray(outs["float32"]["x"]),
+                               np.asarray(outs["tensorfloat32"]["x"]),
+                               atol=5e-3)
