@@ -699,16 +699,22 @@ static int admm_solve(Work& w) {
   return w.status;
 }
 
-// Active-set polish with gathered rows (dynamic sizes are free on CPU).
-static void polish_solution(Work& w, double admm_pri, double admm_dua) {
+// Solve the delta-regularized reduced KKT at a given active-set
+// classification (low/upp flags per row) with iterative refinement.
+// Returns false on symbolic/numeric failure; on success fills x (n) and the
+// full-length dual y (m, zero on inactive rows). Gathered rows — dynamic
+// sizes are free on CPU.
+static bool polish_try(Work& w, const std::vector<char>& low,
+                       const std::vector<char>& upp, std::vector<double>& x,
+                       std::vector<double>& y) {
   const idx n = w.n, m = w.m;
   std::vector<idx> act;
   std::vector<double> b;
   for (idx k = 0; k < m; ++k) {
-    if (w.yv[k] < 0) {
+    if (low[k]) {
       act.push_back(k);
       b.push_back(w.l[k]);
-    } else if (w.yv[k] > 0) {
+    } else if (upp[k]) {
       act.push_back(k);
       b.push_back(w.u[k]);
     }
@@ -780,8 +786,7 @@ static void polish_solution(Work& w, double admm_pri, double admm_dua) {
   LDLFactor fac;
   if (!ldl_symbolic(N, Kq.p.data(), Kq.i.data(), sym) ||
       !ldl_numeric(N, Kq.p.data(), Kq.i.data(), Kq.x.data(), sym, fac)) {
-    w.status_polish = -1;
-    return;
+    return false;
   }
   std::vector<double> pbuf(N);
   auto psolve = [&](double* b) {
@@ -817,19 +822,99 @@ static void polish_solution(Work& w, double admm_pri, double admm_dua) {
     psolve(resid.data());
     for (idx j = 0; j < N; ++j) sol[j] += resid[j];
   }
+  x.assign(sol.begin(), sol.begin() + n);
+  y.assign(m, 0.0);
+  for (idx j = 0; j < ma; ++j) y[act[j]] = sol[n + j];
+  return true;
+}
+
+// Active-set polish driver: y-sign guess, then up to 3 single-row pivot
+// repair rounds (drop the worst wrong-signed active row, else add the most
+// violated inactive row — one row per round; bulk repair cascades), and a
+// hardened acceptance requiring BOTH residuals to improve AND the polished
+// duals to be sign-consistent with the final active set. Mirrors the
+// shared-engine polish (osqp_tpu/polish.py) so the native engine cannot
+// report a wrong-face polish as success (round-4 advisor finding).
+static void polish_solution(Work& w, double admm_pri, double admm_dua) {
+  const idx n = w.n, m = w.m;
+  const double tol0 = 1e-8;   // f64 floor, matches polish.py _tol0 at f64
+  std::vector<char> low(m), upp(m);
+  for (idx k = 0; k < m; ++k) {
+    low[k] = w.yv[k] < 0;
+    upp[k] = w.yv[k] > 0;
+  }
+  std::vector<double> x, y;
+  if (!polish_try(w, low, upp, x, y)) {
+    w.status_polish = -1;
+    return;
+  }
+  std::vector<double> Axf(m);
+  for (int round = 0; round < 3; ++round) {
+    mat_vec(w.A, x.data(), Axf.data());
+    double ymax = 0.0, axmax = 0.0;
+    for (idx k = 0; k < m; ++k) {
+      ymax = std::max(ymax, std::abs(y[k]));
+      axmax = std::max(axmax, std::abs(Axf[k]));
+    }
+    const double stol = tol0 * (1.0 + ymax);
+    const double ftol = tol0 * (1.0 + std::max(axmax, ymax));
+    // worst wrong-signed active row / most violated inactive row
+    idx kd = -1, ka = -1;
+    double wd = stol, wa = ftol;
+    bool add_low = false;
+    for (idx k = 0; k < m; ++k) {
+      if (low[k] || upp[k]) {
+        const double ws = low[k] ? std::max(y[k], 0.0)
+                                 : std::max(-y[k], 0.0);
+        if (ws > wd) {
+          wd = ws;
+          kd = k;
+        }
+      } else {
+        const double vl = w.l[k] - Axf[k], vu = Axf[k] - w.u[k];
+        const double v = std::max(vl, vu);
+        if (v > wa) {
+          wa = v;
+          ka = k;
+          add_low = vl >= vu;
+        }
+      }
+    }
+    if (kd >= 0) {
+      low[kd] = upp[kd] = 0;
+    } else if (ka >= 0) {
+      (add_low ? low : upp)[ka] = 1;
+    } else {
+      break;  // classification is consistent — no pivot needed
+    }
+    if (!polish_try(w, low, upp, x, y)) {
+      w.status_polish = -1;
+      return;
+    }
+  }
   // candidate solution evaluated in place, then the ADMM iterates restored
   std::vector<double> x_old = w.xv, y_old = w.yv, z_old = w.zv;
-  for (idx j = 0; j < n; ++j) w.xv[j] = sol[j];
-  std::fill(w.yv.begin(), w.yv.end(), 0.0);
-  for (idx j = 0; j < ma; ++j) w.yv[act[j]] = sol[n + j];
-  std::vector<double> Axf(m);
+  w.xv = x;
+  w.yv = y;
   mat_vec(w.A, w.xv.data(), Axf.data());
   for (idx k = 0; k < m; ++k) w.zv[k] = std::clamp(Axf[k], w.l[k], w.u[k]);
   Residuals rp = residuals(w);
   bool ok = std::isfinite(rp.pri) && std::isfinite(rp.dua);
-  bool bp = rp.pri < admm_pri, bd = rp.dua < admm_dua;
-  ok = ok && ((bp && bd) || (bp && admm_dua < 1e-10) ||
-              (bd && admm_pri < 1e-10));
+  for (idx j = 0; j < n && ok; ++j) ok = std::isfinite(w.xv[j]);
+  // both residuals must strictly improve on the ADMM ones (or be at the
+  // noise floor) — the old one-axis escape hatch accepted wrong faces
+  const double tiny = 1e-10;
+  ok = ok && rp.pri < std::max(admm_pri, tiny) &&
+       rp.dua < std::max(admm_dua, tiny);
+  if (ok) {
+    double ymax = 0.0;
+    for (idx k = 0; k < m; ++k) ymax = std::max(ymax, std::abs(w.yv[k]));
+    const double stol = tol0 * (1.0 + ymax);
+    for (idx k = 0; k < m && ok; ++k) {
+      if (low[k]) ok = w.yv[k] <= stol;
+      else if (upp[k]) ok = w.yv[k] >= -stol;
+    }
+  }
   if (ok) {
     w.status_polish = 1;
     w.pri_res = rp.pri;

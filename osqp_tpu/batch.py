@@ -504,7 +504,8 @@ class BatchedSolver:
                         prim_cert=bspec, dual_cert=bspec,
                         rho_updates=bspec, rho_estimate=bspec,
                         xbar=bspec, ybar=bspec, zbar=bspec,
-                        status_polish=rspec),
+                        status_polish=rspec, rho_dir=rspec, rho_gap=rspec,
+                        next_rho=rspec),
                     check_vma=False)
                 out = jax.jit(fn)(Pm, A, q, l, u, x0, y0)
             else:
@@ -571,6 +572,7 @@ class BatchedSolver:
         iters_acc = None
         xw, yw = x0, y0
         status_val = None
+        resume = None
         try:
             while total < max_iter:
                 this = min(chunk, max_iter - total)
@@ -578,8 +580,18 @@ class BatchedSolver:
                 dyn_c = dyn._replace(
                     max_iter=jnp.int32(this),
                     final_approx=jnp.int32(1 if is_final else 0))
+                if resume is not None:
+                    # resume the (per-lane) rho back-off state so the damped
+                    # schedule persists across chunks (round-4 advisor fix);
+                    # next_rho is absolute within the chunk's lockstep
+                    # counter — rebase by the chunk length just run
+                    dyn_c = dyn_c._replace(
+                        rho_dir0=resume[0], rho_gap0=resume[1],
+                        next_rho0=resume[2])
                 out = self._dispatch(Pm, q, A, l, u, xw, yw, dyn_c, dtype,
                                      do_polish=False)
+                resume = (out.rho_dir, out.rho_gap,
+                          jnp.maximum(out.next_rho - this, 0))
                 jax.block_until_ready(out.x)
                 st = np.asarray(out.status)
                 it = np.asarray(out.iter)

@@ -134,10 +134,15 @@ def solve_batch_scaled(sdata: QPData, scal: ScalingData, dyn: DynParams,
         pri_res=inf0, dua_res=inf0,
         rho_estimate=rho0,
         rho_updates=jnp.zeros((B,), jnp.int32),
-        rho_dir=jnp.zeros((B,), jnp.int32),
-        rho_gap=jnp.full((B,), jnp.maximum(dyn.adaptive_rho_interval, 1),
-                         jnp.int32),
-        next_rho=jnp.zeros((B,), jnp.int32),
+        rho_dir=jnp.broadcast_to(
+            jnp.asarray(dyn.rho_dir0, jnp.int32), (B,)),
+        rho_gap=jnp.broadcast_to(jnp.where(
+            jnp.asarray(dyn.rho_gap0, jnp.int32) > 0,
+            jnp.asarray(dyn.rho_gap0, jnp.int32),
+            jnp.maximum(dyn.adaptive_rho_interval, 1).astype(jnp.int32)),
+            (B,)),
+        next_rho=jnp.broadcast_to(
+            jnp.asarray(dyn.next_rho0, jnp.int32), (B,)),
     )
 
     check_t = jnp.maximum(dyn.check_termination, 1)
@@ -319,6 +324,8 @@ def _finalize(sdata, scal, dyn, final: BCarry, v_check_approx) -> SolveOutput:
         prim_cert=prim_cert, dual_cert=dual_cert,
         rho_updates=final.rho_updates, rho_estimate=final.rho_estimate,
         xbar=final.x, ybar=final.y, zbar=final.z,
+        rho_dir=final.rho_dir, rho_gap=final.rho_gap,
+        next_rho=final.next_rho,
     )
 
 
@@ -370,10 +377,15 @@ def solve_batch_fused(sdata: QPData, scal: ScalingData, dyn: DynParams,
         pri_res=inf0, dua_res=inf0,
         rho_estimate=rho0,
         rho_updates=jnp.zeros((B,), jnp.int32),
-        rho_dir=jnp.zeros((B,), jnp.int32),
-        rho_gap=jnp.full((B,), jnp.maximum(dyn.adaptive_rho_interval, 1),
-                         jnp.int32),
-        next_rho=jnp.zeros((B,), jnp.int32),
+        rho_dir=jnp.broadcast_to(
+            jnp.asarray(dyn.rho_dir0, jnp.int32), (B,)),
+        rho_gap=jnp.broadcast_to(jnp.where(
+            jnp.asarray(dyn.rho_gap0, jnp.int32) > 0,
+            jnp.asarray(dyn.rho_gap0, jnp.int32),
+            jnp.maximum(dyn.adaptive_rho_interval, 1).astype(jnp.int32)),
+            (B,)),
+        next_rho=jnp.broadcast_to(
+            jnp.asarray(dyn.next_rho0, jnp.int32), (B,)),
     )
 
     def cond_fun(c: BCarry):

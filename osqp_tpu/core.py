@@ -363,6 +363,17 @@ def solve_scaled(sdata: QPData, scal: ScalingData, dyn: DynParams,
     loose, eq = constraint_masks(sdata.l, sdata.u)
 
     inf0 = jnp.asarray(jnp.inf, dtype)
+    # chunk-resume state: 0 = fresh (derive from the interval / factor
+    # state); the chunked drivers feed the previous chunk's SolveOutput
+    # values back through DynParams so a chunked solve follows the exact
+    # trajectory of an unchunked one (round-4 advisor fix).
+    gap0 = jnp.where(
+        jnp.asarray(dyn.rho_gap0, jnp.int32) > 0,
+        jnp.asarray(dyn.rho_gap0, jnp.int32),
+        jnp.maximum(dyn.adaptive_rho_interval, 1).astype(jnp.int32))
+    est0 = jnp.where(jnp.asarray(dyn.rho_est0, dtype) > 0,
+                     jnp.asarray(dyn.rho_est0, dtype),
+                     jnp.asarray(fs.rho_bar, dtype))
     carry0 = Carry(
         x=x0, y=y0, z=z0, x_prev=x0, y_prev=y0, L=fs.L,
         rho_vec=fs.rho_vec, rho_inv=fs.rho_inv,
@@ -370,11 +381,11 @@ def solve_scaled(sdata: QPData, scal: ScalingData, dyn: DynParams,
         it=jnp.asarray(dyn.start_iter, jnp.int32),
         status=jnp.int32(C.RUNNING),
         pri_res=inf0, dua_res=inf0,
-        rho_estimate=jnp.asarray(fs.rho_bar, dtype),
+        rho_estimate=est0,
         rho_updates=jnp.int32(0),
-        rho_dir=jnp.int32(0),
-        rho_gap=jnp.maximum(dyn.adaptive_rho_interval, 1).astype(jnp.int32),
-        next_rho=jnp.int32(0),
+        rho_dir=jnp.asarray(dyn.rho_dir0, jnp.int32),
+        rho_gap=gap0,
+        next_rho=jnp.asarray(dyn.next_rho0, jnp.int32),
     )
 
     check_t = jnp.maximum(dyn.check_termination, 1)
@@ -526,6 +537,8 @@ def solve_scaled(sdata: QPData, scal: ScalingData, dyn: DynParams,
         prim_cert=prim_cert, dual_cert=dual_cert,
         rho_updates=final.rho_updates, rho_estimate=final.rho_estimate,
         xbar=final.x, ybar=final.y, zbar=final.z,
+        rho_dir=final.rho_dir, rho_gap=final.rho_gap,
+        next_rho=final.next_rho,
     )
     fs_out = FactorState(L=final.L, rho_vec=final.rho_vec,
                          rho_inv=final.rho_inv, rho_bar=final.rho_bar)
@@ -617,6 +630,7 @@ def dyn_from_settings(settings, dtype) -> DynParams:
         cg_max_iter=i(settings.cg_max_iter),
         start_iter=i(0),
         rho_backoff=i(backoff),
+        rho_dir0=i(0), rho_gap0=i(0), next_rho0=i(0), rho_est0=f(0.0),
     )
     if len(_DYN_MEMO) > 256:  # runaway-sweep backstop
         _DYN_MEMO.clear()

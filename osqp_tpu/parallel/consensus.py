@@ -83,7 +83,8 @@ class ShardedQP:
                 pri_res=rep, dua_res=rep, obj_val=rep,
                 prim_cert=row, dual_cert=rep,
                 rho_updates=rep, rho_estimate=rep,
-                xbar=rep, ybar=row, zbar=row, status_polish=rep),
+                xbar=rep, ybar=row, zbar=row, status_polish=rep,
+                rho_dir=rep, rho_gap=rep, next_rho=rep),
         )
 
     def solve(self, Pm, q, A, l, u, x0=None, y0=None) -> SolveOutput:

@@ -132,6 +132,13 @@ def polish(sdata: QPData, scal: ScalingData, dyn: DynParams,
     upp = ybar > 0.0
     x, y = solve_with_set(low, upp)
 
+    # Repair/acceptance tolerance floor scales with the COMPUTE dtype
+    # (round-4 advisor): hard-coded 1e-8 is f64-scale; at f32 the dual
+    # noise on weakly-active rows (~1e-6..1e-7) exceeds it and triggered
+    # spurious pivots / sign_ok rejections. 1000*eps keeps f64 at the
+    # measured 1e-8 while lifting f32 to ~1.2e-4.
+    _tol0 = max(1e-8, 1000.0 * float(jnp.finfo(dtype).eps))
+
     def repair(low, upp, x, y):
         """Single-row active-set pivot from the polished point: drop the
         WORST wrong-signed active row, else add the MOST violated inactive
@@ -142,9 +149,9 @@ def polish(sdata: QPData, scal: ScalingData, dyn: DynParams,
         converges immediately)."""
         idx = jnp.arange(m)
         Ax = A @ x
-        stol = 1e-8 * (1.0 + jnp.max(jnp.abs(y)))
-        ftol = 1e-8 * (1.0 + jnp.maximum(jnp.max(jnp.abs(Ax)),
-                                         jnp.max(jnp.abs(y))))
+        stol = _tol0 * (1.0 + jnp.max(jnp.abs(y)))
+        ftol = _tol0 * (1.0 + jnp.maximum(jnp.max(jnp.abs(Ax)),
+                                          jnp.max(jnp.abs(y))))
         neg_inf = jnp.asarray(-jnp.inf, dtype)
         ws = (jnp.where(low, jnp.maximum(y, 0.0), 0.0)
               + jnp.where(upp, jnp.maximum(-y, 0.0), 0.0))
@@ -166,13 +173,28 @@ def polish(sdata: QPData, scal: ScalingData, dyn: DynParams,
         return low2, upp2, do_drop | do_add
 
     if m > 0:
-        for _ in range(_POLISH_ROUNDS - 1):
+        # Repair rounds as ONE while_loop (round-4 advisor): the unrolled
+        # Python loop traced _POLISH_ROUNDS-1 extra full solve_with_set
+        # instances (each a fresh n x n factorization on the direct path)
+        # into every polish — ~4x the trace/compile footprint even when
+        # round 0 is already correct. The loop exits as soon as a round
+        # makes no pivot, so the common case runs the body zero times.
+        def _cond(st):
+            k, _, _, _, _, cont = st
+            return cont & (k < _POLISH_ROUNDS - 1)
+
+        def _body(st):
+            k, low, upp, x, y, _ = st
             low2, upp2, changed = repair(low, upp, x, y)
             x2, y2 = lax.cond(
                 changed,
                 lambda args: solve_with_set(args[0], args[1]),
                 lambda args: (x, y), (low2, upp2))
-            low, upp, x, y = low2, upp2, x2, y2
+            return k + 1, low2, upp2, x2, y2, changed
+
+        _, low, upp, x, y, _ = lax.while_loop(
+            _cond, _body,
+            (jnp.int32(0), low, upp, x, y, jnp.asarray(True)))
 
     z = jnp.clip(A @ x, l, u)
     res = residual_norms(sdata, scal, dyn, x, y, z)
@@ -188,7 +210,7 @@ def polish(sdata: QPData, scal: ScalingData, dyn: DynParams,
     better_p = res.pri_res < jnp.maximum(admm_pri_res, tiny)
     better_d = res.dua_res < jnp.maximum(admm_dua_res, tiny)
     if m > 0:
-        stol = 1e-8 * (1.0 + jnp.max(jnp.abs(y)))
+        stol = _tol0 * (1.0 + jnp.max(jnp.abs(y)))
         sign_ok = (jnp.all(jnp.where(low, y <= stol, True))
                    & jnp.all(jnp.where(upp, y >= -stol, True)))
     else:

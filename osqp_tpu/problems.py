@@ -201,7 +201,7 @@ def lp_qp(n=40, m=80, seed=0, margin=0.75):
     measured) without the iteration blow-up larger margins cause on the S
     instance (margin 1.5: 184k iterations; 0.75: 12k)."""
     rng = np.random.RandomState(seed)
-    assert m >= n // 2
+    assert m >= (n + 1) // 2  # k_r random-block active rows must fit in m
     x_star = rng.randn(n)
     A_r = rng.randn(m, n) / np.sqrt(n)
     A = np.vstack([A_r, np.eye(n)])

@@ -372,9 +372,11 @@ def solve_batch_shared(P, A, qb, lb, ub, scal: SharedScaling, dyn: DynParams,
         nlive=jnp.int32(B),
         fine=jnp.asarray(not (lowp or tf32)),
         last_ratio=jnp.asarray(jnp.inf, dtype),
-        rho_dir=jnp.int32(0),
-        rho_gap=jnp.asarray(rho_int, jnp.int32),
-        next_rho=jnp.int32(0),
+        rho_dir=jnp.asarray(dyn.rho_dir0, jnp.int32),
+        rho_gap=jnp.where(jnp.asarray(dyn.rho_gap0, jnp.int32) > 0,
+                          jnp.asarray(dyn.rho_gap0, jnp.int32),
+                          jnp.asarray(rho_int, jnp.int32)),
+        next_rho=jnp.asarray(dyn.next_rho0, jnp.int32),
     )
 
     G = min(group, B)
@@ -746,6 +748,8 @@ def solve_batch_shared(P, A, qb, lb, ub, scal: SharedScaling, dyn: DynParams,
         rho_updates=jnp.broadcast_to(final.rho_updates, (B_,)),
         rho_estimate=jnp.broadcast_to(final.rho_estimate, (B_,)),
         xbar=final.x, ybar=final.y, zbar=final.z,
+        rho_dir=final.rho_dir, rho_gap=final.rho_gap,
+        next_rho=final.next_rho,
     )
     if with_factor:
         return out, FactorCache(Rinv=final.Rinv, rho_vec=final.rho_vec,
@@ -879,6 +883,7 @@ def solve_batch_shared_fixed(P, A, qb, lb, ub, scal: SharedScaling,
         rho_updates=jnp.zeros((B,), jnp.int32),
         rho_estimate=jnp.broadcast_to(rho0, (B,)),
         xbar=x, ybar=y, zbar=z,
+        rho_dir=jnp.int32(0), rho_gap=jnp.int32(0), next_rho=jnp.int32(0),
     )
     if with_factor:
         # fixed rho: the factor does not evolve during the solve

@@ -476,6 +476,14 @@ class SparseModel:
                     dyn_c = dyn._replace(
                         max_iter=jnp.int32(this),
                         final_approx=jnp.int32(1 if is_final else 0))
+                    if out is not None:
+                        # resume the rho back-off state across chunks
+                        # (round-4 advisor fix); next_rho rebased to the
+                        # new chunk's iteration counter
+                        dyn_c = dyn_c._replace(
+                            rho_dir0=out.rho_dir, rho_gap0=out.rho_gap,
+                            next_rho0=jnp.maximum(out.next_rho - out.iter,
+                                                  0))
                     t_ch = time.perf_counter()
                     out = _run(dyn_c, x0, y0, polish=False)
                     jax.block_until_ready(out.x)

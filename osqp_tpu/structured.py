@@ -627,6 +627,12 @@ def solve_banded(data: BandedData, qb, lb, ub, scal: BandedScaling,
     rho_int = jnp.maximum(dyn.adaptive_rho_interval, 1)
     inf0 = jnp.full((B,), jnp.inf, dtype)
 
+    # chunk-resume back-off state (0 = fresh; the time-limited driver feeds
+    # the previous chunk's values back so the damped schedule persists —
+    # round-4 advisor fix)
+    gap0 = jnp.where(jnp.asarray(dyn.rho_gap0, jnp.int32) > 0,
+                     jnp.asarray(dyn.rho_gap0, jnp.int32),
+                     jnp.asarray(rho_int, jnp.int32))
     carry0 = TCarry(
         x=x0, y=y0, z=z0, x_prev=x0, y_prev=y0, fac=fac0,
         rho_vec=rho_vec, rho_inv=rho_inv, rho_bar=rho0,
@@ -635,9 +641,9 @@ def solve_banded(data: BandedData, qb, lb, ub, scal: BandedScaling,
         iters=jnp.zeros((B,), jnp.int32),
         pri_res=inf0, dua_res=inf0,
         rho_estimate=rho0, rho_updates=jnp.int32(0),
-        rho_dir=jnp.int32(0),
-        rho_gap=jnp.asarray(rho_int, jnp.int32),
-        next_rho=jnp.int32(0),
+        rho_dir=jnp.asarray(dyn.rho_dir0, jnp.int32),
+        rho_gap=gap0,
+        next_rho=jnp.asarray(dyn.next_rho0, jnp.int32),
     )
 
     def cond_fun(c: TCarry):
@@ -801,7 +807,11 @@ def solve_banded(data: BandedData, qb, lb, ub, scal: BandedScaling,
                prim_cert=prim_cert, dual_cert=dual_cert,
                rho_estimate=jnp.broadcast_to(final.rho_bar, (B_,)),
                rho_updates=jnp.broadcast_to(final.rho_updates, (B_,)),
-               xbar=final.x, ybar=final.y, zbar=final.z)
+               xbar=final.x, ybar=final.y, zbar=final.z,
+               # scalar chunk-resume state (popped by the chunked driver
+               # before per-lane freezing; harmless extra keys otherwise)
+               rho_dir=final.rho_dir, rho_gap=final.rho_gap,
+               next_rho=final.next_rho, loop_it=final.it)
     if with_factor:
         return out, TFactor(fac=final.fac, rho_vec=final.rho_vec,
                             rho_bar=final.rho_bar)
@@ -1133,6 +1143,8 @@ class BlockTridiagSolver:
                 factor0=factor0, with_factor=True, kkt=self._kkt,
                 tf32=s.tf32())
             out = dict(out)
+            for k_ in ("rho_dir", "rho_gap", "next_rho", "loop_it"):
+                out.pop(k_, None)
 
         if s.polish:
             out = self._apply_polish(qb, lb, ub, dyn, out)
@@ -1193,6 +1205,7 @@ class BlockTridiagSolver:
         iters_acc = None
         status_val = None
         fac = factor0
+        resume = None
         try:
             while total < max_iter:
                 this = min(chunk, max_iter - total)
@@ -1200,10 +1213,21 @@ class BlockTridiagSolver:
                 dyn_c = dyn._replace(
                     max_iter=jnp.int32(this),
                     final_approx=jnp.int32(1 if is_final else 0))
+                if resume is not None:
+                    dyn_c = dyn_c._replace(
+                        rho_dir0=resume[0], rho_gap0=resume[1],
+                        next_rho0=resume[2])
                 out, fac = _solve_banded_jit(
                     self._data, qb, lb, ub, self._scal, dyn_c, xb, yb, zb,
                     factor0=fac, with_factor=True, kkt=self._kkt,
                     tf32=s.tf32())
+                out = dict(out)
+                # pop the scalar resume state before per-lane freezing;
+                # next_rho is absolute within the chunk's counter — rebase
+                # by the iterations the loop actually ran
+                li = out.pop("loop_it")
+                resume = (out.pop("rho_dir"), out.pop("rho_gap"),
+                          jnp.maximum(out.pop("next_rho") - li, 0))
                 jax.block_until_ready(out["x"])
                 st = np.asarray(out["status"])
                 it = np.asarray(out["iter"])

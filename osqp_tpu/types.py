@@ -79,6 +79,17 @@ class DynParams(NamedTuple):
                               # adaptive_rho_interval at 0/auto; pinned
                               # intervals keep exact fixed-interval
                               # reference semantics — see core.Carry)
+    # --- chunk-resume state (round-4 advisor: the chunked drivers re-enter
+    # solve_scaled with a fresh carry, so without threading these the
+    # automatic-mode rho back-off restarted undamped every chunk and a
+    # time-limited solve's rho schedule diverged from the unchunked one).
+    # All default to "fresh": 0 means derive from the interval / factor
+    # state. The chunk drivers feed the previous chunk's SolveOutput values
+    # back in, making a chunked trajectory bit-identical to an unchunked one.
+    rho_dir0: Any = 0         # int32: sign of the last accepted rho update
+    rho_gap0: Any = 0         # int32: current back-off gap (0 = interval)
+    next_rho0: Any = 0        # int32: first iteration allowed to update rho
+    rho_est0: Any = 0.0       # resume value for rho_estimate (0 = rho_bar)
 
 
 class SolveOutput(NamedTuple):
@@ -103,6 +114,11 @@ class SolveOutput(NamedTuple):
     ybar: Any
     zbar: Any
     status_polish: Any = 0  # int32 (see class docstring)
+    # chunk-resume state (fed back into DynParams.rho_dir0/rho_gap0/
+    # next_rho0 by the chunked drivers — see DynParams)
+    rho_dir: Any = 0        # int32
+    rho_gap: Any = 0        # int32
+    next_rho: Any = 0       # int32
 
 
 # ---------------------------------------------------------------------------

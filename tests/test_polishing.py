@@ -194,3 +194,35 @@ def test_polish_rejects_wrong_face_and_pivot_recovers():
         # accepted polish must be the TRUE vertex, not a plausible face
         assert abs(r.info.obj_val - o.obj) / (1 + abs(o.obj)) < 1e-6
         assert np.max(np.abs(r.x - o.x)) < 1e-5
+
+
+def test_native_polish_rejects_wrong_face_and_pivot_recovers():
+    """Round-5: the same wrong-face scenario on the NATIVE engine (the
+    round-4 advisor found native polish kept the old one-axis acceptance
+    escape hatch while the conformance sweep enables polish on native LP
+    cells). Native polish now runs the single-row pivot repair rounds and
+    the sign-consistency acceptance gate (native/solver.cpp
+    polish_solution), so an accepted polish must be the true vertex."""
+    from osqp_tpu.native import NativeModel
+    from osqp_tpu.problems import lp_qp
+    from osqp_tpu.utils.ipm import solve_qp_ipm
+
+    P, q, A, l, u = lp_qp()
+    rng = np.random.RandomState(11)
+    q2 = q + 0.1 * rng.randn(len(q))
+    shift = 0.05 * rng.randn(len(l))
+    l2 = np.where(np.isfinite(l), l + shift, l)
+    u2 = np.where(np.isfinite(u), u + shift, u)
+    o = solve_qp_ipm(P, q2, A, l2, u2)
+    assert o.status == "optimal"
+
+    model = NativeModel()
+    model.setup(P=P, q=q, A=A, l=l, u=u, verbose=False, eps_abs=1e-3,
+                eps_rel=1e-3, max_iter=100000, polish=True)
+    model.solve()
+    model.update(q=q2, l=l2, u=u2)
+    r = model.solve()
+    assert r.info.status == "Solved"
+    if r.info.status_polish == 1:
+        assert abs(r.info.obj_val - o.obj) / (1 + abs(o.obj)) < 1e-6
+        assert np.max(np.abs(r.x - o.x)) < 1e-5
