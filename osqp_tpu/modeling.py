@@ -146,8 +146,14 @@ class Problem:
         self._quad = {}
         if quadratic is not None:
             if isinstance(quadratic, dict):
+                # canonicalize inline WITHOUT per-entry change flagging: a
+                # full replacement whose final pattern matches the setup
+                # pattern must flush through the mod-cache, not re-setup
+                # (MOI_wrapper.jl:591-629 zero-allocation contract); flagging
+                # per entry would see a partial pattern and pin needs_setup
                 for (i, j), v in quadratic.items():
-                    self.set_quadratic_objective_coefficient(i, j, v)
+                    key = (int(i), int(j)) if i <= j else (int(j), int(i))
+                    self._quad[key] = float(v)
             else:
                 Q = np.asarray(quadratic, dtype=np.float64)
                 for i in range(Q.shape[0]):
