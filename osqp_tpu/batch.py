@@ -189,13 +189,14 @@ _rollout_jit = jax.jit(
 
 def _vmapped_solve(data: QPData, dyn, scaling_iters, x0, y0,
                    kkt_mode: str = "inverse", do_polish: bool = False,
-                   delta=1e-6, refine_iters=3) -> SolveOutput:
+                   delta=1e-6, refine_iters=3,
+                   tf32: bool = False) -> SolveOutput:
     """Batched solve. Implemented by the natively-batched engine
     (:mod:`osqp_tpu.batch_core`), NOT ``vmap(solve)`` — vmapping the
     while_loop would execute both branches of the adaptive-rho ``lax.cond``,
     running the batched Cholesky refactorization every iteration."""
     return _batched_solve_impl(data, dyn, scaling_iters, x0, y0, kkt_mode,
-                               do_polish, delta, refine_iters)
+                               do_polish, delta, refine_iters, tf32=tf32)
 
 
 class BatchedSolver:
@@ -239,10 +240,12 @@ class BatchedSolver:
                        l=shard(2), u=shard(2)),
                 None, None, shard(2), shard(2), None, None)
             self._jit = jax.jit(_vmapped_solve, in_shardings=in_shardings,
-                                static_argnames=("kkt_mode", "do_polish"))
+                                static_argnames=("kkt_mode", "do_polish",
+                                                 "tf32"))
         else:
             self._jit = jax.jit(_vmapped_solve,
-                                static_argnames=("kkt_mode", "do_polish"))
+                                static_argnames=("kkt_mode", "do_polish",
+                                                 "tf32"))
         self._shared_jit = jax.jit(
             lambda P, A, q, l, u, dyn, sc, x0, y0, group, interpret, adaptive,
             lowp, tf32:
@@ -525,7 +528,8 @@ class BatchedSolver:
             out = self._jit(data, dyn, jnp.int32(s.scaling), x0, y0,
                             self.kkt_mode, do_polish,
                             jnp.asarray(s.delta, dtype),
-                            jnp.int32(s.polish_refine_iter))
+                            jnp.int32(s.polish_refine_iter),
+                            s.tf32())
         return out
 
     def _apply_polish(self, Pm, A, q, l, u, dyn, dtype, out) -> SolveOutput:

@@ -16,7 +16,7 @@ control flow inside them, so vmap is free.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -32,14 +32,14 @@ from .types import DynParams, QPData, ScalingData, SolveOutput
 _DIV_GUARD = 1e-10
 
 
-def _bmm(A, x):
+def _bmm(A, x, prec=None):
     """(B,m,n) @ (B,n) -> (B,m)."""
-    return jnp.einsum("bmn,bn->bm", A, x)
+    return jnp.einsum("bmn,bn->bm", A, x, precision=prec)
 
 
-def _bmm_t(A, v):
+def _bmm_t(A, v, prec=None):
     """(B,m,n)^T @ (B,m) -> (B,n)."""
-    return jnp.einsum("bmn,bm->bn", A, v)
+    return jnp.einsum("bmn,bm->bn", A, v, precision=prec)
 
 
 def _batched_chol(P, A, sigma, rho_vec):
@@ -73,9 +73,9 @@ def _batched_factor(P, A, sigma, rho_vec, kkt_mode: str):
     return Rinv
 
 
-def _batched_kkt_apply(F, b, kkt_mode: str):
+def _batched_kkt_apply(F, b, kkt_mode: str, prec=None):
     if kkt_mode == "inverse":
-        return jnp.einsum("bnk,bk->bn", F, b)
+        return jnp.einsum("bnk,bk->bn", F, b, precision=prec)
     w = lax.linalg.triangular_solve(F, b[..., None], left_side=True,
                                     lower=True, transpose_a=False)
     x = lax.linalg.triangular_solve(F, w, left_side=True,
@@ -107,13 +107,25 @@ class BCarry(NamedTuple):
     rho_dir: jnp.ndarray      # (B,) int32
     rho_gap: jnp.ndarray      # (B,) int32
     next_rho: jnp.ndarray     # (B,) int32
+    # tensorfloat32 stall fallback (scalar, whole-batch — mirrors the
+    # shared engine's detector: latch ``fine`` when the best live lane's
+    # residual-to-threshold ratio stops improving at a check boundary)
+    fine: Any = True
+    last_ratio: Any = float("inf")
 
 
 @with_precision
 def solve_batch_scaled(sdata: QPData, scal: ScalingData, dyn: DynParams,
-                       x0, y0, z0, kkt_mode: str = "inverse") -> SolveOutput:
+                       x0, y0, z0, kkt_mode: str = "inverse",
+                       tf32: bool = False) -> SolveOutput:
     """Batched ADMM on pre-scaled stacked data (leading axis B on all leaves
-    of ``sdata``/``scal`` and on the starts)."""
+    of ``sdata``/``scal`` and on the starts).
+
+    ``tf32=True`` (Settings.matmul_precision on the per-lane engine): the
+    per-iteration batched products — the KKT apply GEMM included on the
+    "inverse" path — run at XLA Precision.HIGH (3-pass bf16 splits, f32
+    accumulation) with the same stall-detected full-f32 fallback as the
+    shared engine; factorization/termination/certificates stay f32."""
     dtype = sdata.P.dtype
     B, n = x0.shape
     m = y0.shape[1]
@@ -143,6 +155,8 @@ def solve_batch_scaled(sdata: QPData, scal: ScalingData, dyn: DynParams,
             (B,)),
         next_rho=jnp.broadcast_to(
             jnp.asarray(dyn.next_rho0, jnp.int32), (B,)),
+        fine=jnp.asarray(not tf32),
+        last_ratio=jnp.asarray(jnp.inf, dtype),
     )
 
     check_t = jnp.maximum(dyn.check_termination, 1)
@@ -162,15 +176,17 @@ def solve_batch_scaled(sdata: QPData, scal: ScalingData, dyn: DynParams,
     def cond_fun(c: BCarry):
         return jnp.any(c.status == C.RUNNING) & (c.it < dyn.max_iter)
 
-    def body_fun(c: BCarry) -> BCarry:
+    def body_fun(c: BCarry, leg_tf32: bool = False) -> BCarry:
         live = c.status == C.RUNNING  # (B,)
         lx = live[:, None]
+        prec = lax.Precision.HIGH if leg_tf32 else None
 
         # ---- one batched ADMM step ----
         rhs = dyn.sigma * c.x - sdata.q + _bmm_t(sdata.A,
-                                                 c.rho_vec * c.z - c.y)
-        xt = _batched_kkt_apply(c.L, rhs, kkt_mode)
-        zt = _bmm(sdata.A, xt)
+                                                 c.rho_vec * c.z - c.y,
+                                                 prec)
+        xt = _batched_kkt_apply(c.L, rhs, kkt_mode, prec)
+        zt = _bmm(sdata.A, xt, prec)
         x_new = dyn.alpha * xt + (1.0 - dyn.alpha) * c.x
         v = dyn.alpha * zt + (1.0 - dyn.alpha) * c.z + c.rho_inv * c.y
         z_new = jnp.clip(v, sdata.l, sdata.u)
@@ -258,6 +274,26 @@ def solve_batch_scaled(sdata: QPData, scal: ScalingData, dyn: DynParams,
             do_rho, adapt, no_adapt, None)
 
         track = do_check | do_rho
+
+        if leg_tf32:
+            # stall detector: best live lane's residual-to-threshold ratio
+            den_p = jnp.maximum(dyn.eps_abs + dyn.eps_rel * res.pri_norm,
+                                _DIV_GUARD)
+            den_d = jnp.maximum(dyn.eps_abs + dyn.eps_rel * res.dua_norm,
+                                _DIV_GUARD)
+            ratio = jnp.maximum(res.pri_res / den_p, res.dua_res / den_d)
+            ratio = jnp.where(status == C.RUNNING, ratio,
+                              jnp.asarray(jnp.inf, dtype))
+            rmin = jnp.min(ratio)
+            stalled = do_check & (rmin > 0.95 * c.last_ratio)
+            fine2 = c.fine | stalled
+            last_ratio2 = jnp.where(do_check,
+                                    jnp.minimum(rmin, c.last_ratio),
+                                    c.last_ratio)
+        else:
+            fine2 = c.fine
+            last_ratio2 = c.last_ratio
+
         return BCarry(
             x=x_new, y=y_new, z=z_new, x_prev=x_prev, y_prev=y_prev, L=L2,
             rho_vec=rho_vec2, rho_inv=rho_inv2, rho_bar=rho_bar2, it=it,
@@ -267,9 +303,17 @@ def solve_batch_scaled(sdata: QPData, scal: ScalingData, dyn: DynParams,
             rho_estimate=jnp.where(do_rho & live, rho_est2, c.rho_estimate),
             rho_updates=rho_upd2,
             rho_dir=rho_dir2, rho_gap=rho_gap2, next_rho=next_rho2,
+            fine=fine2, last_ratio=last_ratio2,
         )
 
-    final = lax.while_loop(cond_fun, body_fun, carry0)
+    if tf32:
+        # phase 1: tf32 until done or stalled; phase 2: full f32 remainder
+        mid = lax.while_loop(
+            lambda c: cond_fun(c) & jnp.logical_not(c.fine),
+            lambda c: body_fun(c, leg_tf32=True), carry0)
+        final = lax.while_loop(cond_fun, body_fun, mid)
+    else:
+        final = lax.while_loop(cond_fun, body_fun, carry0)
     return _finalize(sdata, scal, dyn, final, v_check_approx)
 
 
@@ -501,7 +545,8 @@ def merge_polish(out: SolveOutput, pol) -> SolveOutput:
 
 def solve_batch(data: QPData, dyn: DynParams, scaling_iters, x0, y0,
                 kkt_mode: str = "inverse", do_polish: bool = False,
-                delta=1e-6, refine_iters=3) -> SolveOutput:
+                delta=1e-6, refine_iters=3,
+                tf32: bool = False) -> SolveOutput:
     """Scale (vmapped Ruiz) + batched solve (+ optional in-jit polish reusing
     the same scaled data — no second equilibration pass). All data leaves have
     leading B.
@@ -518,7 +563,8 @@ def solve_batch(data: QPData, dyn: DynParams, scaling_iters, x0, y0,
         out = solve_batch_fused(sdata, scal, dyn, xb, yb, zb,
                                 interpret=interpret)
     else:
-        out = solve_batch_scaled(sdata, scal, dyn, xb, yb, zb, kkt_mode)
+        out = solve_batch_scaled(sdata, scal, dyn, xb, yb, zb, kkt_mode,
+                                 tf32=tf32)
     if do_polish:
         from .polish import polish as _polish_fn
         pol = jax.vmap(

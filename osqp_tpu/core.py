@@ -23,7 +23,7 @@ flow depends on data — a single XLA executable per problem shape.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -305,14 +305,32 @@ class Carry(NamedTuple):
     rho_dir: jnp.ndarray      # int32: sign of the last accepted update (0 none)
     rho_gap: jnp.ndarray      # int32: current min gap between updates
     next_rho: jnp.ndarray     # int32: first iteration allowed to update
+    # --- tensorfloat32 stall fallback (mirrors shared_core's detector):
+    # ``fine`` latches True when a tf32 leg's best residual-to-threshold
+    # ratio stops improving — the f32 phase then finishes the solve.
+    fine: Any = True          # bool
+    last_ratio: Any = float("inf")  # best residual-to-threshold ratio
 
 
 def admm_step(sdata: QPData, dyn: DynParams, carry: Carry,
-              indirect: bool = False):
-    """One alpha-relaxed ADMM iteration (call stack SURVEY.md §3.2 steps 1-4)."""
+              indirect: bool = False, tf32: bool = False):
+    """One alpha-relaxed ADMM iteration (call stack SURVEY.md §3.2 steps 1-4).
+
+    ``tf32=True`` runs the iteration's A-products at
+    ``lax.Precision.HIGH`` (the XLA 3-pass bf16 split — the TPU
+    tensorfloat32 analogue the shared engine implements in-kernel);
+    the KKT triangular solves / CG and all termination math stay at the
+    pinned full-f32 precision."""
     P, q, A, l, u = sdata
     alpha = dyn.alpha
-    rhs = dyn.sigma * carry.x - q + A.T @ (carry.rho_vec * carry.z - carry.y)
+    if tf32:
+        def dot(a, b):
+            return jnp.matmul(a, b, precision=lax.Precision.HIGH)
+    else:
+        def dot(a, b):
+            return a @ b
+    rhs = dyn.sigma * carry.x - q + dot(A.T, carry.rho_vec * carry.z
+                                        - carry.y)
     if indirect:
         # Solve to cg_tol every iteration. A residual-coupled "adaptive
         # forcing term" was measured (round 2) to stall the outer ADMM on
@@ -324,7 +342,7 @@ def admm_step(sdata: QPData, dyn: DynParams, carry: Carry,
                       M_inv_diag=carry.L)
     else:
         xt = chol_solve(carry.L, rhs)
-    zt = A @ xt
+    zt = dot(A, xt)
     x_new = alpha * xt + (1.0 - alpha) * carry.x
     v = alpha * zt + (1.0 - alpha) * carry.z + carry.rho_inv * carry.y
     z_new = jnp.clip(v, l, u)
@@ -342,11 +360,17 @@ def _verbose_row(it, obj, pri, dua, rho):
 
 def solve_scaled(sdata: QPData, scal: ScalingData, dyn: DynParams,
                  x0, y0, z0, fs: FactorState, linsys: str = "direct",
-                 verbose: bool = False):
+                 verbose: bool = False, tf32: bool = False):
     """Run the ADMM loop on pre-scaled data from the given (scaled) start,
     reusing the cached factorization ``fs``. Returns (SolveOutput, FactorState)
     where the returned factor state reflects any in-loop adaptive-rho
-    refactorizations (reused by the next solve)."""
+    refactorizations (reused by the next solve).
+
+    ``tf32=True`` (Settings.matmul_precision on the dense Model path): the
+    iteration's A-products run at XLA Precision.HIGH with a stall-detected
+    f32 fallback — phase 1 iterates tf32 until done or the best
+    residual-to-threshold ratio plateaus, phase 2 finishes in full f32
+    (same scheme as the shared engine's in-kernel splits)."""
     dtype = sdata.P.dtype
     n = sdata.P.shape[0]
     m = sdata.A.shape[0]
@@ -386,6 +410,8 @@ def solve_scaled(sdata: QPData, scal: ScalingData, dyn: DynParams,
         rho_dir=jnp.asarray(dyn.rho_dir0, jnp.int32),
         rho_gap=gap0,
         next_rho=jnp.asarray(dyn.next_rho0, jnp.int32),
+        fine=jnp.asarray(not tf32),
+        last_ratio=jnp.asarray(jnp.inf, dtype),
     )
 
     check_t = jnp.maximum(dyn.check_termination, 1)
@@ -394,8 +420,9 @@ def solve_scaled(sdata: QPData, scal: ScalingData, dyn: DynParams,
     def cond_fun(c: Carry):
         return (c.status == C.RUNNING) & (c.it < dyn.max_iter)
 
-    def body_fun(c: Carry) -> Carry:
-        x_new, y_new, z_new = admm_step(sdata, dyn, c, indirect=indirect)
+    def body_fun(c: Carry, leg_tf32: bool = False) -> Carry:
+        x_new, y_new, z_new = admm_step(sdata, dyn, c, indirect=indirect,
+                                        tf32=leg_tf32)
         it = c.it + 1
         dx_bar = x_new - c.x
         dy_bar = y_new - c.y
@@ -465,6 +492,25 @@ def solve_scaled(sdata: QPData, scal: ScalingData, dyn: DynParams,
 
         rho_est_out = jnp.where(do_rho, rho_est, c.rho_estimate)
 
+        # tf32 stall detector (only meaningful on tf32 legs): latch ``fine``
+        # when the residual-to-threshold ratio stops improving at a check
+        # boundary — tf32 noise floors (~1e-6 relative) plateau below the
+        # requested eps on tight-tolerance solves; the f32 phase rescues.
+        if leg_tf32:
+            den_p = jnp.maximum(dyn.eps_abs + dyn.eps_rel * res.pri_norm,
+                                jnp.asarray(_DIV_GUARD, dtype))
+            den_d = jnp.maximum(dyn.eps_abs + dyn.eps_rel * res.dua_norm,
+                                jnp.asarray(_DIV_GUARD, dtype))
+            ratio = jnp.maximum(res.pri_res / den_p, res.dua_res / den_d)
+            stalled = do_check & (ratio > 0.95 * c.last_ratio)
+            fine2 = c.fine | stalled
+            last_ratio2 = jnp.where(do_check,
+                                    jnp.minimum(ratio, c.last_ratio),
+                                    c.last_ratio)
+        else:
+            fine2 = c.fine
+            last_ratio2 = c.last_ratio
+
         if verbose:
             # per-iteration log at check boundaries (reference verbose
             # setting types.jl:129; column format matches the native
@@ -487,9 +533,19 @@ def solve_scaled(sdata: QPData, scal: ScalingData, dyn: DynParams,
             dua_res=jnp.where(do_check | do_rho, res.dua_res, c.dua_res),
             rho_estimate=rho_est_out, rho_updates=rho_upd2,
             rho_dir=dir2, rho_gap=gap2, next_rho=next2,
+            fine=fine2, last_ratio=last_ratio2,
         )
 
-    final = lax.while_loop(cond_fun, body_fun, carry0)
+    if tf32:
+        # phase 1: tf32 iterations until done or the stall detector latches
+        # ``fine``; phase 2: full-f32 for whatever remains. Two static loop
+        # bodies — no runtime precision selection on the hot path.
+        mid = lax.while_loop(
+            lambda c: cond_fun(c) & jnp.logical_not(c.fine),
+            lambda c: body_fun(c, leg_tf32=True), carry0)
+        final = lax.while_loop(cond_fun, body_fun, mid)
+    else:
+        final = lax.while_loop(cond_fun, body_fun, carry0)
 
     # ---- post-loop: max_iter handling + "inaccurate" statuses -------------
     hit_max = final.status == C.RUNNING

@@ -49,7 +49,8 @@ def _convexity_nan(Pbar, sigma):
     return jnp.any(jnp.isnan(L))
 
 
-_solve_jit = jax.jit(solve_scaled, static_argnames=("linsys", "verbose"))
+_solve_jit = jax.jit(solve_scaled,
+                     static_argnames=("linsys", "verbose", "tf32"))
 _polish_jit = jax.jit(_polish_fn)
 
 
@@ -392,7 +393,8 @@ class Model:
                         next_rho0=out.next_rho, rho_est0=out.rho_estimate)
                 out, fs = _solve_jit(self._sdata, self._scal, dyn_c,
                                      x0, y0, z0, fs, linsys=self._linsys,
-                                     verbose=bool(s.verbose))
+                                     verbose=bool(s.verbose),
+                                     tf32=s.tf32())
                 jax.block_until_ready(out.x)
                 total = int(out.iter)
                 rho_updates += int(out.rho_updates)
@@ -516,7 +518,8 @@ class Model:
                         next_rho0=out.next_rho, rho_est0=out.rho_estimate)
                 out, fs = _solve_jit(self._sdata, self._scal, dyn_c, x0, y0,
                                      z0, fs, linsys=self._linsys,
-                                     verbose=bool(s.verbose))
+                                     verbose=bool(s.verbose),
+                                     tf32=s.tf32())
                 jax.block_until_ready(out.x)
                 total = int(out.iter)
                 rho_updates += int(out.rho_updates)

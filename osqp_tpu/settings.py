@@ -103,12 +103,17 @@ class Settings:
     #: those marginal statuses, as under any trajectory perturbation.
     #: Requires dtype float32; superseded by ``mixed_precision`` when both
     #: are set. Honored by the shared batched engine (in-kernel splits),
-    #: ScenarioQP (fused consensus loop), and BlockTridiagSolver (the
+    #: ScenarioQP (fused consensus loop), BlockTridiagSolver (the
     #: per-iteration banded products — rhs assembly, block-tridiagonal KKT
     #: apply, Ax — run tf32; factorization/termination/certificates/polish
     #: stay f32; no stall fallback: the banded engine's regime is
-    #: eps>=1e-3 MPC where tf32 noise (~1e-6) is far below tolerance).
-    #: Ignored by the other engines (dense Model, native, sparse, f64).
+    #: eps>=1e-3 MPC where tf32 noise (~1e-6) is far below tolerance),
+    #: and — round 5 — the dense Model, per-lane batched, and SparseModel
+    #: dense-routed paths (XLA Precision.HIGH on the iteration A-products
+    #: with the same stall-detected f32 fallback). Explicitly a NO-OP on:
+    #: the SparseModel matrix-free path (gather/segment-sum matvecs carry
+    #: no MXU precision knob), the native host-C++ engine (f64 LAPACK-free
+    #: scalar code), and any f64-dtype run.
     matmul_precision: str = "float32"
 
     def __post_init__(self):

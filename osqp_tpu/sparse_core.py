@@ -121,7 +121,8 @@ _solve_sparse_jit = jax.jit(_solve_sparse_impl,
 
 
 def _solve_dense_impl(Pd, q, Ad, l, u, dyn, scaling_iters, x0, y0,
-                      do_polish: bool = False, delta=1e-6, refine_iters=3):
+                      do_polish: bool = False, delta=1e-6, refine_iters=3,
+                      tf32: bool = False):
     """Dense direct-factor solve for the routed small-problem path: same
     semantics as _solve_sparse_impl with exact KKT solves (one Cholesky of
     the reduced KKT per (re)factorization — the role QDLDL plays for every
@@ -136,7 +137,8 @@ def _solve_dense_impl(Pd, q, Ad, l, u, dyn, scaling_iters, x0, y0,
     yb = scal.c * scal.Einv * y0
     zb = sdata.A @ xb
     fs = init_factor(sdata, dyn.sigma, dyn.rho_bar, indirect=False)
-    out, _ = solve_scaled(sdata, scal, dyn, xb, yb, zb, fs, linsys="direct")
+    out, _ = solve_scaled(sdata, scal, dyn, xb, yb, zb, fs, linsys="direct",
+                          tf32=tf32)
     if do_polish:
         pol = _polish_fn(sdata, scal, dyn, delta, refine_iters, out.ybar,
                          out.pri_res, out.dua_res, indirect=False)
@@ -154,7 +156,7 @@ def _solve_dense_impl(Pd, q, Ad, l, u, dyn, scaling_iters, x0, y0,
 
 
 _solve_dense_jit = jax.jit(_solve_dense_impl,
-                           static_argnames=("do_polish",))
+                           static_argnames=("do_polish", "tf32"))
 
 #: Routing gate for the direct (dense-factor) mode: densified operators must
 #: stay under this many bytes and n under the Cholesky-comfortable bound.
@@ -445,7 +447,8 @@ class SparseModel:
                     self._P_dense, self._q, self._A_dense, self._l, self._u,
                     dyn_c, jnp.int32(s.scaling), x0, y0, do_polish=polish,
                     delta=jnp.asarray(s.delta, self._dtype),
-                    refine_iters=jnp.int32(s.polish_refine_iter))
+                    refine_iters=jnp.int32(s.polish_refine_iter),
+                    tf32=s.tf32())
             return _solve_sparse_jit(
                 self._P_op, self._q, self._A_op, self._l, self._u, dyn_c,
                 jnp.int32(s.scaling), x0, y0, do_polish=polish,
