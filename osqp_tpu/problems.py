@@ -257,6 +257,49 @@ def degenerate_qp(n=30, m=50, seed=0):
     return P, q, A, l, u
 
 
+def chain_qp(n=200, bw=8, seed=0, shuffle=True):
+    """Banded/chain-structured QP: SPD P with half-bandwidth ``bw`` (a 1-D
+    chain/time-series coupling), constraints local to windows of <= bw
+    consecutive variables (box rows + coupling rows), then the variable
+    order SHUFFLED — so a direct method must *discover* the band structure
+    (RCM) rather than be handed it. The natural domain of the banded
+    direct backend (osqp_tpu.band): dense O(n^2) HBM dies by n ~ 1e4 and
+    CG pays many iterations on the chain's O(n^2/bw^2) condition number."""
+    rng = np.random.RandomState(seed)
+    # SPD band: sum of overlapping bw-sized SPD blocks (chain graph)
+    P = np.zeros((n, n))
+    for s in range(0, n - bw + 1, max(bw // 2, 1)):
+        Mb = rng.randn(bw, bw) / np.sqrt(bw)
+        P[s:s + bw, s:s + bw] += Mb.T @ Mb
+    P += 0.1 * np.eye(n)
+    q = rng.randn(n)
+    # constraints: one box row per variable + a coupling row per window
+    rows, lo, hi = [], [], []
+    for i in range(n):
+        r = np.zeros(n)
+        r[i] = 1.0
+        rows.append(r)
+        lo.append(-2.0 - rng.rand())
+        hi.append(2.0 + rng.rand())
+    for s in range(0, n - bw + 1, max(bw // 2, 1)):
+        r = np.zeros(n)
+        r[s:s + bw] = rng.randn(bw) / np.sqrt(bw)
+        rows.append(r)
+        c = float(r @ rng.randn(n)) * 0.1
+        w = 0.5 + rng.rand()
+        lo.append(c - w)
+        hi.append(c + w)
+    A = np.asarray(rows)
+    l = np.asarray(lo)
+    u = np.asarray(hi)
+    if shuffle:
+        perm = rng.permutation(n)
+        P = P[np.ix_(perm, perm)]
+        q = q[perm]
+        A = A[:, perm]
+    return P, q, A, l, u
+
+
 #: The validation suite: name -> zero-arg constructor
 FAMILIES = {
     "random_qp": random_qp,
@@ -270,6 +313,7 @@ FAMILIES = {
     "degenerate_qp": degenerate_qp,
     "lp_qp": lp_qp,
     "box_qp": box_qp,
+    "chain_qp": chain_qp,
 }
 
 #: Size grid for the Maros-Meszaros-class parity sweep (scripts/conformance.py):
@@ -304,4 +348,6 @@ SIZE_GRID = {
               ("L", dict(n=300, m=600))],
     "box_qp": [("S", dict(n=50)), ("M", dict(n=150)),
                ("L", dict(n=400))],
+    "chain_qp": [("S", dict(n=128, bw=8)), ("M", dict(n=512, bw=12)),
+                 ("L", dict(n=2048, bw=16))],
 }

@@ -126,14 +126,12 @@ class Settings:
                 raise ValueError(
                     f"Wrong linear system solver! {sorted(LINSYS_SOLVER_MAP)} allowed"
                 )
-            if key == "mkl pardiso":
-                import warnings
-                warnings.warn(
-                    "linsys_solver='mkl pardiso' is accepted for API parity "
-                    "with the reference (interface.jl:749-773) but there is "
-                    "no Pardiso backend on TPU; the dense direct (Cholesky "
-                    "reduced-KKT) path is used instead.",
-                    stacklevel=3)
+            # "mkl pardiso" (the reference's SECOND direct backend,
+            # interface.jl:749-773) selects the RCM-banded block-tridiagonal
+            # direct factorization (osqp_tpu.band) on the sparse-input
+            # surface (SparseModel / BandedModel). On dense input the two
+            # direct backends coincide (no sparsity to exploit) — the dense
+            # Model uses the reduced-KKT Cholesky either way.
             self.linsys_solver = LINSYS_SOLVER_MAP[key]
         for f in (
             "rho", "sigma", "adaptive_rho_tolerance", "adaptive_rho_fraction",

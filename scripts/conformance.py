@@ -147,6 +147,19 @@ def run_engine(engine, P, q, A, l, u, kw=None, warm=None, eps=EPS):
                 float(np.asarray(out["obj_val"])[0]),
                 int(np.asarray(out["iter"])[0]),
                 time.perf_counter() - t0, certs, (st, out))
+    if engine == "banded":
+        from osqp_tpu.band import BandedModel
+        import scipy.sparse as _spp
+        model = BandedModel()
+        model.setup(P=_spp.csc_matrix(P), q=q, A=_spp.csc_matrix(A), l=l,
+                    u=u, verbose=False, eps_abs=eps, eps_rel=eps,
+                    max_iter=MAX_ITER, polish=True,
+                    dtype=np.float64 if PLATFORM == "cpu" else np.float32)
+        r = model.solve()
+        certs = dict(prim=np.asarray(r.prim_inf_cert),
+                     dual=np.asarray(r.dual_inf_cert))
+        return (r.info.status, r.x, r.info.obj_val, int(r.info.iter),
+                time.perf_counter() - t0, certs, (model, r))
     if engine == "native":
         model = NativeModel()
         model.setup(P=P, q=q, A=A, l=l, u=u, verbose=False, eps_abs=eps,
@@ -292,6 +305,19 @@ def run_update_cell(engine, P, q, A, l, u, kw, eps=EPS):
     u2 = np.where(np.isfinite(u), u + shift, u)
     # preserve equality rows exactly (l == u stays l2 == u2 by same shift)
     t0 = time.perf_counter()
+    if engine == "banded":
+        from osqp_tpu.band import BandedModel
+        model = BandedModel()
+        model.setup(P=sp.csc_matrix(P), q=q, A=sp.csc_matrix(A), l=l, u=u,
+                    verbose=False, eps_abs=eps, eps_rel=eps,
+                    max_iter=MAX_ITER, polish=True,
+                    dtype=np.float64 if PLATFORM == "cpu" else np.float32)
+        r0 = model.solve()
+        model.update(q=q2, l=l2, u=u2)
+        model.warm_start(x=r0.x, y=r0.y)
+        r = model.solve()
+        return r.info.status, r.x, r.info.obj_val, int(r.info.iter), \
+            time.perf_counter() - t0, q2, l2, u2
     if engine in ("jax-direct", "jax-cg"):
         linsys = "direct" if engine == "jax-direct" else "cg"
         model = osqp.Model()
@@ -383,6 +409,8 @@ def main():
                 kw = dict(kw, _xfree=(fam == "degenerate_qp"))
                 if fam == "control_qp":
                     fam_engines.append("structured")
+                if fam == "chain_qp":
+                    fam_engines.append("banded")
                 fam_eps = FAMILY_EPS.get(fam, EPS)
                 for eng in fam_engines:
                     try:
@@ -420,6 +448,8 @@ def main():
             status_engines = list(STATUS_ENGINES)
             if fam == "control_qp":
                 status_engines.append("structured")
+            if fam == "chain_qp":
+                status_engines.append("banded")
             fam_eps = FAMILY_EPS.get(fam, EPS)
 
             # -- primal infeasible --
