@@ -49,6 +49,9 @@ def __getattr__(name):
     if name == "BlockTridiagSolver":
         from .structured import BlockTridiagSolver
         return BlockTridiagSolver
+    if name == "BandedModel":
+        from .band import BandedModel
+        return BandedModel
     if name == "solve_qp":
         from .diff import solve_qp
         return solve_qp
