@@ -88,12 +88,12 @@ def main():
     out = solver.solve(Pd, qd, Ad, ld, ud)
     np.asarray(out.x)
     dtimes = []
-    for rep in range(5):
+    for rep in range(9):
         t0 = time.perf_counter()
         out = solver.solve(Pd, qd, Ad, ld, ud)
         xs = np.asarray(out.x)
         dtimes.append(time.perf_counter() - t0)
-    # median of 5: the tunnel round-trip (~73 ms) dominates device-io
+    # median of 9: the tunnel round-trip (~73 ms) dominates device-io
     # timings and its jitter exceeds the compute delta; median is stable
     t_dev_io = sorted(dtimes)[len(dtimes) // 2]
     tpu_qps = B / t_dev_io
@@ -143,12 +143,12 @@ def main():
     # handles — never re-uploaded.
     wqs = []
     acc = qd
-    for rep in range(5):
+    for rep in range(9):
         acc = acc + 0.01 * jnp.asarray(rng.randn(*q.shape).astype(q.dtype))
         wqs.append(acc)
     jax.block_until_ready(wqs[-1])
     wtimes = []
-    for rep in range(5):
+    for rep in range(9):
         t0 = time.perf_counter()
         out = solver.solve_prepared(wqs[rep], ld, ud, x0=xw, y0=yw)
         xw = out.x

@@ -86,6 +86,16 @@ def sparse_ruiz(P: SparseOp, q, A: SparseOp, l, u, n_iters):
     return P, q, A, l, u, scal
 
 
+def _densify(op, shape):
+    """In-jit dense materialization of a sparse operator (used for the
+    one-shot POLISH solve only — see _solve_sparse_impl)."""
+    if isinstance(op, PaddedOp):
+        m = shape[0]
+        rows = jnp.broadcast_to(jnp.arange(m)[:, None], op.cols.shape)
+        return jnp.zeros(shape, op.dtype).at[rows, op.cols].add(op.vals)
+    return op.M.todense()
+
+
 def _solve_sparse_impl(P: SparseOp, q, A: SparseOp, l, u, dyn, scaling_iters,
                        x0, y0, do_polish: bool = False, delta=1e-6,
                        refine_iters=3):
@@ -100,6 +110,30 @@ def _solve_sparse_impl(P: SparseOp, q, A: SparseOp, l, u, dyn, scaling_iters,
     zb = Ab @ xb
     fs = init_factor(sdata, dyn.sigma, dyn.rho_bar, indirect=True)
     out, _ = solve_scaled(sdata, scal, dyn, xb, yb, zb, fs, linsys="indirect")
+    n_, m_ = P.shape[0], A.shape[0]
+    if do_polish and n_ <= _DENSE_ROUTE_N and m_ <= 4 * _DENSE_ROUTE_N:
+        # Polish is a ONE-SHOT reduced-KKT solve, not the iteration path:
+        # below the dense-affordability bound it densifies and factors
+        # exactly even in forced matrix-free mode. The CG polish cannot
+        # solve the delta-regularized vertex system on P=0 problems
+        # (cond ~ 1/delta^2 swamps the Jacobi preconditioner — measured:
+        # the lp_qp/L sweep cell "polished" to obj_err 1.2e-3); past the
+        # bound the CG polish remains (with its documented limits).
+        sdata_d = QPData(P=_densify(Pb, (n_, n_)), q=qb,
+                         A=_densify(Ab, (m_, n_)), l=lb, u=ub)
+        pol = _polish_fn(sdata_d, scal, dyn, delta, refine_iters, out.ybar,
+                         out.pri_res, out.dua_res, indirect=False)
+        ok = pol.success & (out.status == C.SOLVED)
+        out = out._replace(
+            x=jnp.where(ok, pol.x, out.x),
+            y=jnp.where(ok, pol.y, out.y),
+            z=jnp.where(ok, pol.z, out.z),
+            obj_val=jnp.where(ok, pol.obj_val, out.obj_val),
+            pri_res=jnp.where(ok, pol.pri_res, out.pri_res),
+            dua_res=jnp.where(ok, pol.dua_res, out.dua_res),
+            status_polish=jnp.where(out.status == C.SOLVED,
+                                    jnp.where(ok, 1, -1), 0).astype(jnp.int32))
+        return out
     if do_polish:
         pol = _polish_fn(sdata, scal, dyn, delta, refine_iters, out.ybar,
                          out.pri_res, out.dua_res, indirect=True)

@@ -16,6 +16,9 @@ family) on SIX engines:
                      QP's solution) — S/M sizes (outer-loop cost)
   - ``structured``   BlockTridiagSolver on the control family (the one
                      family with block-tridiagonal KKT structure)
+  - ``banded``       BandedModel (RCM-banded second direct backend) on the
+                     chain family (shuffled band structure it must
+                     rediscover)
 
 each compared against the independent interior-point oracle
 (``osqp_tpu.utils.ipm``, ~1e-9 KKT). Real OSQP-C is unavailable in this
@@ -40,9 +43,10 @@ reference's behavioral surface is heavily about non-Solved outcomes):
                      objective vs a FRESH IPM oracle on the updated data
                      (test/update_matrices.jl class)
 
-Writes ``CONFORMANCE.md`` (human table) and ``conformance.json`` (raw).
-Run on CPU f64 (conformance is a correctness property; perf lives in
-bench.py):
+Writes ``CONFORMANCE.md`` (human table) and ``conformance.json`` (raw);
+with ``CONF_PLATFORM=tpu`` the sweep runs chip-resident (f32 at the
+documented eps-1e-3 hardware regime) and writes ``CONFORMANCE_TPU.md`` /
+``conformance_tpu.json``. Default: CPU f64 at eps 1e-6:
 
     python scripts/conformance.py [--quick] [--solved-only|--status-only]
 """
