@@ -178,8 +178,11 @@ def test_settings_validation():
         osqp.Settings(alpha=2.5)
     with _pytest.raises(ValueError):
         osqp.Settings(linsys_solver="bogus")
-    # "mkl pardiso" is accepted for parity but warns about the dense fallback
-    with _pytest.warns(UserWarning, match="Pardiso"):
+    # "mkl pardiso" selects the REAL second direct backend (round 5: the
+    # RCM-banded factorization on sparse-input surfaces) — no warning
+    import warnings as _warnings
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
         s = osqp.Settings(linsys_solver="mkl pardiso")
     assert s.linsys_solver == osqp.constants.MKL_PARDISO_SOLVER
 

@@ -29,6 +29,16 @@ def _lp():
 
 def test_sigint_returns_interrupted():
     P, q, A, l, u = _lp()
+    # warm the chunk executable at this shape first (tiny max_iter, same
+    # shapes/avals): the long solve below must never be inside an XLA
+    # compile when the signal fires — a SIGINT during the FIRST chunk's
+    # compile re-raises by design (no iterate exists yet) and, under a
+    # loaded host, 1 s can land inside that compile (seen in CI-style
+    # full-suite runs: pytest aborted with KeyboardInterrupt)
+    warm = osqp.Model()
+    warm.setup(P=P, q=q, A=A, l=l, u=u, verbose=False, eps_abs=1e-14,
+               eps_rel=1e-14, max_iter=10, polish=False)
+    warm.solve()
     model = osqp.Model()
     # eps far below what the LP tail can reach, polish off: runs forever
     model.setup(P=P, q=q, A=A, l=l, u=u, verbose=False, eps_abs=1e-14,
