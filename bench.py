@@ -47,6 +47,19 @@ def main():
     log(f"devices: {jax.devices()}")
     log(f"batch: B={B} n={n} m={m}")
 
+    # Relay warm-up: the FIRST large pallas compile in a fresh process
+    # intermittently hangs forever on this environment's compile relay
+    # (reproduced; an identical compile succeeds once ANY small kernel
+    # compiled first in the process). ~15 s insurance for the real phases.
+    t0 = time.perf_counter()
+    Pw, qw, Aw, lw, uw = make_batch(256, 64, 128, seed=99)
+    sw = Settings(eps_abs=1e-3, eps_rel=1e-3, polish=False, verbose=False,
+                  dtype=np.float32, adaptive_rho=False)
+    ow = BatchedSolver(settings=sw, kkt_mode="shared").solve(
+        Pw, qw, Aw, lw, uw)
+    jax.block_until_ready(ow.x)
+    log(f"relay warmup compile: {time.perf_counter()-t0:.1f}s")
+
     settings = Settings(eps_abs=1e-3, eps_rel=1e-3, polish=False,
                         verbose=False, dtype=np.float32)
     # shared-structure engine: one factorization + fused GEMM kernel
