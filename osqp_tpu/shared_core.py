@@ -308,6 +308,10 @@ def _shared_inverse(P, A, sigma, rho_vec):
 #: trigger boundary) gives ~0.67^64 ~ 1e-11 at s=6 — far below f32 noise.
 _NS_SWEEPS = 6
 
+import os as _os
+#: escape hatch while diagnosing a relay-level execution hang
+_NS_DISABLE = _os.environ.get("TPUQP_NO_NS", "") == "1"
+
 
 def _shared_inverse_warm(P, A, sigma, rho_vec, X0):
     """Refactorization with a warm start: Newton-Schulz from the previous
@@ -321,6 +325,8 @@ def _shared_inverse_warm(P, A, sigma, rho_vec, X0):
     previous inverse for the bounded rho moves the adaptive schedule makes;
     the residual check routes the rare large moves (equality-boost jumps,
     bounds reclassification) to the exact factorization."""
+    if _NS_DISABLE:
+        return _shared_inverse(P, A, sigma, rho_vec)
     n = P.shape[0]
     dtype = P.dtype
     R = _shared_R(P, A, sigma, rho_vec)
