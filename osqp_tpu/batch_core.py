@@ -196,15 +196,16 @@ def solve_batch_scaled(sdata: QPData, scal: ScalingData, dyn: DynParams,
         x_new = jnp.where(lx, x_new, c.x)
         z_new = jnp.where(lx, z_new, c.z)
         y_new = jnp.where(lx, y_new, c.y)
-        x_prev = jnp.where(lx, c.x, c.x_prev)
-        y_prev = jnp.where(lx, c.y, c.y_prev)
 
         it = c.it + 1
-        dx = x_new - x_prev
-        dy = y_new - y_prev
-
         do_check = (dyn.check_termination > 0) & (it % check_t == 0)
         do_rho = (dyn.adaptive_rho != 0) & (it % rho_int == 0)
+
+        # certificate deltas over the CHECK WINDOW (snapshot below) — the
+        # per-iteration δ cancels catastrophically at f32 and infeasibility
+        # certificates never fire; see core.solve_scaled body_fun
+        dx = x_new - c.x_prev
+        dy = y_new - c.y_prev
 
         def with_res(_):
             def checked(_):
@@ -224,6 +225,12 @@ def solve_batch_scaled(sdata: QPData, scal: ScalingData, dyn: DynParams,
                                    without_res, None)
         status = jnp.where(live, status_new, c.status)
         iters = jnp.where(live & (status != C.RUNNING), it, c.iters)
+        # window snapshot only for lanes STILL running (a detected lane
+        # keeps its pre-check snapshot so the certificate extraction in
+        # _finalize sees the detection window)
+        snap = (live & do_check & (status == C.RUNNING))[:, None]
+        x_prev = jnp.where(snap, x_new, c.x_prev)
+        y_prev = jnp.where(snap, y_new, c.y_prev)
 
         # ---- adaptive rho: scalar cond → Cholesky only at interval ----
         def adapt(_):
@@ -449,8 +456,11 @@ def solve_batch_fused(sdata: QPData, scal: ScalingData, dyn: DynParams,
         x_new = jnp.where(lx, x_new, c.x)
         y_new = jnp.where(lx, y_new, c.y)
         z_new = jnp.where(lx, z_new, c.z)
-        x_prev = jnp.where(lx, xp, c.x_prev)
-        y_prev = jnp.where(lx, yp, c.y_prev)
+        # check-window certificate deltas (chunk boundary == check here):
+        # snapshot the chunk-start iterate, not the kernel's last-iteration
+        # xp/yp — per-iteration δ cancels at f32 (see core body_fun)
+        x_prev = jnp.where(lx, c.x, c.x_prev)
+        y_prev = jnp.where(lx, c.y, c.y_prev)
 
         it = c.it + K
         dx = x_new - x_prev

@@ -251,7 +251,14 @@ def _kkt_precompute(sdata: QPData, sigma, rho_vec, indirect: bool):
             Ap = jnp.pad(sdata.A, ((0, 0), (0, npad - n)))
             Abk = Ap.reshape(-1, nb, bs)
             blocks = blocks + jnp.einsum("mki,m,mkj->kij", Abk, rho_vec, Abk)
-        return lax.linalg.cholesky(blocks, symmetrize_input=False)
+        Lb = lax.linalg.cholesky(blocks, symmetrize_input=False)
+        # f32 robustness: a near-singular diagonal block NaNs its Cholesky
+        # and would poison every CG preconditioner apply (observed on-chip
+        # as spurious Non_convex on convex problems); fall back to the
+        # identity (no preconditioning) for just that block
+        bad = jnp.any(jnp.isnan(Lb), axis=(1, 2), keepdims=True)
+        eye_b = jnp.eye(bs, dtype=Lb.dtype)[None]
+        return jnp.where(bad, eye_b, Lb)
     return chol_factor(reduced_kkt(sdata.P, sdata.A, sigma, rho_vec))
 
 
@@ -424,8 +431,21 @@ def solve_scaled(sdata: QPData, scal: ScalingData, dyn: DynParams,
         x_new, y_new, z_new = admm_step(sdata, dyn, c, indirect=indirect,
                                         tf32=leg_tf32)
         it = c.it + 1
-        dx_bar = x_new - c.x
-        dy_bar = y_new - c.y
+        # Certificate deltas over the CHECK WINDOW (x_prev/y_prev snapshot
+        # at the last termination check), not per-iteration. Per-iteration
+        # δy cancels catastrophically at float32: on an infeasible problem
+        # the diverging y has entries ~O(1e2) while one iteration's ray
+        # growth sits below the f32 ulp of y, so ‖Aᵀδŷ‖∞ floors near 2e-3
+        # ≫ eps_prim_inf and the certificate NEVER fires (measured:
+        # control_qp + contradictory row detects at iteration 150 in f64,
+        # never in 100k iterations at f32). The window delta multiplies the
+        # signal by check_termination (~25×) while the cancellation noise
+        # stays at ulp(y); the limiting direction is the same ray, so f64
+        # semantics are unchanged up to the detection check. The native C++
+        # engine keeps the reference's per-iteration delta (it is f64-only,
+        # mirroring OSQP-C exactly).
+        dx_bar = x_new - c.x_prev
+        dy_bar = y_new - c.y_prev
 
         do_check = (dyn.check_termination > 0) & (it % check_t == 0)
         do_rho = ((dyn.adaptive_rho != 0) & (it % rho_int == 0)
@@ -526,7 +546,15 @@ def solve_scaled(sdata: QPData, scal: ScalingData, dyn: DynParams,
             lax.cond(do_check, _emit, lambda _: jnp.int32(0), None)
 
         return Carry(
-            x=x_new, y=y_new, z=z_new, x_prev=c.x, y_prev=c.y, L=L2,
+            x=x_new, y=y_new, z=z_new,
+            # snapshot only while still RUNNING: on the detection check the
+            # pre-check snapshot must survive so the post-loop certificate
+            # extraction sees the detection window (else prim/dual certs
+            # degenerate to zero)
+            x_prev=jnp.where(do_check & (status == C.RUNNING), x_new,
+                             c.x_prev),
+            y_prev=jnp.where(do_check & (status == C.RUNNING), y_new,
+                             c.y_prev), L=L2,
             rho_vec=rho_vec2, rho_inv=rho_inv2, rho_bar=rho_bar2, it=it,
             status=status,
             pri_res=jnp.where(do_check | do_rho, res.pri_res, c.pri_res),

@@ -124,20 +124,29 @@ def cg_solve(matvec, b, x0, tol, max_iter, M_inv_diag=None):
 
     def cond(state):
         k, _, r, _, _ = state
-        return (k < max_iter) & (inf_norm(r) > tol * bnorm)
+        return (k < max_iter) & (inf_norm(r) > tol * bnorm) \
+            & jnp.isfinite(inf_norm(r))
 
     def body(state):
         k, x, r, p, rz = state
         Ap = matvec(p)
         denom = jnp.dot(p, Ap)
         alpha = rz / jnp.where(denom == 0, jnp.asarray(1.0, dtype), denom)
-        x = x + alpha * p
-        r = r - alpha * Ap
-        z = precond(r)
-        rz_new = jnp.dot(r, z)
+        x_new = x + alpha * p
+        r_new = r - alpha * Ap
+        z = precond(r_new)
+        rz_new = jnp.dot(r_new, z)
         beta = rz_new / jnp.where(rz == 0, jnp.asarray(1.0, dtype), rz)
-        p = z + beta * p
-        return k + 1, x, r, p, rz_new
+        p_new = z + beta * p
+        # f32 breakdown guard: if the step went non-finite (singular
+        # preconditioner block, denom underflow at float32 — observed on
+        # the chip as a spurious divergence -> Non_convex on a convex
+        # problem), keep the last finite iterate; the outer ADMM absorbs
+        # one inexact KKT solve.
+        ok = jnp.all(jnp.isfinite(x_new))
+        x_new = jnp.where(ok, x_new, x)
+        r_new = jnp.where(ok, r_new, jnp.zeros_like(r))  # exits the loop
+        return k + 1, x_new, r_new, p_new, rz_new
 
     _, x, _, _, _ = lax.while_loop(cond, body, (jnp.int32(0), x0, r0, p0, rz0))
     return x

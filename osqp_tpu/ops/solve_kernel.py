@@ -129,8 +129,6 @@ def _kernel(scal_ref,  # SMEM: [sigma, alpha, max_iter, check_every,
             z_new = jnp.clip(v, lb, ub)
             t_new = v - z_new
 
-            xp = jnp.where(live, x, xp)
-            tp = jnp.where(live, t, tp)
             x = jnp.where(live, x_new, x)
             t = jnp.where(live, t_new, t)
             z = jnp.where(live, z_new, z)
@@ -248,6 +246,16 @@ def _kernel(scal_ref,  # SMEM: [sigma, alpha, max_iter, check_every,
                         jnp.where(was_live, prn, old[:, 4:5]),
                         jnp.where(was_live, dun, old[:, 5:6]),
                         old[:, 6:8]], axis=1)
+
+            # certificate-delta snapshot at CHECKS only (xp/tp hold the
+            # last check's iterate): the per-iteration delta cancels
+            # catastrophically at f32 and the in-kernel infeasibility
+            # tests never fire — see core.solve_scaled body_fun. The
+            # classification above reads the PRE-update xp/tp (the window).
+            still = stats_ref[:][:, 0:1] == C.RUNNING  # post-check status
+            upd = jnp.logical_and(still, do_check)
+            xp = jnp.where(upd, x, xp)
+            tp = jnp.where(upd, t, tp)
 
             # NB numeric min-reduction, not jnp.all: Mosaic's reduce_and
             # proxy lowers through f64 under x64 and rejects the scalar

@@ -474,8 +474,11 @@ def solve_batch_shared(P, A, qb, lb, ub, scal: SharedScaling, dyn: DynParams,
             x_new = jnp.where(lx, x_new, c.x)
             y_new = jnp.where(lx, y_new, c.y)
             z_new = jnp.where(lx, z_new, c.z)
-            x_prev = jnp.where(lx, xp, c.x_prev)
-            y_prev = jnp.where(lx, yp, c.y_prev)
+            # chunk-window certificate deltas (chunk == check cadence
+            # here): snapshot the chunk-start iterate — per-iteration
+            # deltas cancel at f32 (see core.solve_scaled body_fun)
+            x_prev = jnp.where(lx, c.x, c.x_prev)
+            y_prev = jnp.where(lx, c.y, c.y_prev)
 
             it = c.it + K
             dx = x_new - x_prev

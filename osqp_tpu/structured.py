@@ -667,14 +667,16 @@ def solve_banded(data: BandedData, qb, lb, ub, scal: BandedScaling,
         x_new = jnp.where(lx, x_new, c.x)
         z_new = jnp.where(lv, z_new, c.z)
         y_new = jnp.where(lv, y_new, c.y)
-        x_prev = jnp.where(lx, c.x, c.x_prev)
-        y_prev = jnp.where(lv, c.y, c.y_prev)
 
         it = c.it + 1
         do_check = (dyn.check_termination > 0) & (it % check_t == 0)
         do_rho = (dyn.adaptive_rho != 0) & (it % rho_int == 0)
-        dx_bar = x_new - c.x       # zero on frozen lanes -> never detected
-        dy_bar = y_new - c.y
+        # check-window certificate deltas (snapshot at checks) — the
+        # per-iteration delta cancels catastrophically at f32 and the
+        # infeasibility tests never fire; see core.solve_scaled body_fun.
+        # Zero on frozen lanes -> never detected there.
+        dx_bar = x_new - c.x_prev
+        dy_bar = y_new - c.y_prev
 
         def with_res(_):
             st, res = _banded_check(data, qb, lb, ub, scal, dyn,
@@ -692,6 +694,12 @@ def solve_banded(data: BandedData, qb, lb, ub, scal: BandedScaling,
                                    None)
         status = jnp.where(live, status_new, c.status)
         iters = jnp.where(live & (status != C.RUNNING), it, c.iters)
+        # window snapshot only for lanes STILL running (a detected lane
+        # keeps its pre-check snapshot so certificate extraction sees the
+        # detection window)
+        snap = live & do_check & (status == C.RUNNING)
+        x_prev = jnp.where(snap[:, None, None], x_new, c.x_prev)
+        y_prev = jnp.where(snap[:, None], y_new, c.y_prev)
 
         def adapt(_):
             still = status == C.RUNNING

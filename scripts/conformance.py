@@ -176,7 +176,12 @@ def run_engine(engine, P, q, A, l, u, kw=None, warm=None, eps=EPS):
     if engine == "batched":
         s = Settings(eps_abs=eps, eps_rel=eps, max_iter=MAX_ITER,
                      verbose=False, polish=True)
-        solver = BatchedSolver(settings=s)
+        # chip sweep runs f32: the default explicit-inverse KKT apply has
+        # a kappa(R)*eps_f32 noise floor that blocks infeasibility
+        # certification on equality-boosted problems; the engine docstring
+        # prescribes "chol" for conformance-grade accuracy
+        solver = BatchedSolver(settings=s, kkt_mode=(
+            "inverse" if PLATFORM == "cpu" else "chol"))
         out = solver.solve(P[None], q[None], A[None], l[None], u[None])
         sv = int(np.asarray(out.status)[0])
         x = np.asarray(out.x)[0]
@@ -206,7 +211,7 @@ def run_engine(engine, P, q, A, l, u, kw=None, warm=None, eps=EPS):
         n = P.shape[0]
         S = 4
         e_cons = 1e-6 if PLATFORM == "cpu" else 1e-4
-        e_sub = 1e-8 if PLATFORM == "cpu" else 1e-5
+        e_sub = 1e-8 if PLATFORM == "cpu" else 1e-4
         sq = ScenarioQP(k=n, gamma=1.0, eps_consensus=e_cons, max_outer=200,
                         settings=Settings(verbose=False, eps_abs=e_sub,
                                           eps_rel=e_sub, max_iter=MAX_ITER))
@@ -345,7 +350,12 @@ def run_update_cell(engine, P, q, A, l, u, kw, eps=EPS):
     if engine == "batched":
         s = Settings(eps_abs=eps, eps_rel=eps, max_iter=MAX_ITER,
                      verbose=False, polish=True)
-        solver = BatchedSolver(settings=s)
+        # chip sweep runs f32: the default explicit-inverse KKT apply has
+        # a kappa(R)*eps_f32 noise floor that blocks infeasibility
+        # certification on equality-boosted problems; the engine docstring
+        # prescribes "chol" for conformance-grade accuracy
+        solver = BatchedSolver(settings=s, kkt_mode=(
+            "inverse" if PLATFORM == "cpu" else "chol"))
         out0 = solver.solve(P[None], q[None], A[None], l[None], u[None])
         out = solver.solve(P[None], q2[None], A[None], l2[None], u2[None],
                            x0=np.asarray(out0.x), y0=np.asarray(out0.y))

@@ -110,9 +110,12 @@ def test_primal_dual_infeasible_problem():
 
 
 def test_infeasible_x_y_nan_filled():
-    # interface.jl:184-210: no solution => NaN x/y, certificate present
+    # interface.jl:184-210: no solution => NaN x/y, certificate present.
+    # x1 carries zero cost (a free variable with q1 != 0 would make the
+    # problem dual-infeasible TOO; which certificate fires first is then a
+    # detection-dynamics race, not a contract)
     P = np.zeros((2, 2))
-    q = np.array([-1.0, -1.0])
+    q = np.array([-1.0, 0.0])
     A = np.array([[1.0, 0.0], [1.0, 0.0]])
     l = np.array([1.0, 3.0])
     u = np.array([2.0, 4.0])  # x0 in [1,2] and [3,4] simultaneously
