@@ -85,7 +85,11 @@ from osqp_tpu.problems import FAMILIES, SIZE_GRID  # noqa: E402
 from osqp_tpu.utils.ipm import solve_qp_ipm  # noqa: E402
 
 EPS = 1e-6 if PLATFORM == "cpu" else 1e-3   # engine tolerance for the sweep
-MAX_ITER = 100000
+#: Chip sweep caps the budget: every measured f32 plateau sits far below
+#: 30k iterations (detection, when it happens, lands < 5k; huber burned
+#: the full 100k budget without further progress) — a tighter cap bounds
+#: the cost of known-floor cells without changing any outcome.
+MAX_ITER = 100000 if PLATFORM == "cpu" else 30000
 #: Per-family engine eps overrides. Pure LPs (P=0, no strong convexity) are
 #: the known slow tail of first-order methods at tight eps — 1e5-1e6
 #: iterations for ANY fixed rho (measured; the reference's C core behaves
@@ -102,9 +106,20 @@ FAMILY_EPS = {"lp_qp": 1e-3}
 #: - ill_conditioned_qp (cond 1e4-1e8 by construction): obj gate at the
 #:   eps-consistent 3e-3 (a legitimate eps-1e-3 termination permits
 #:   ~2 eps relative objective error; measured S-cell miss was 1.16e-3).
+#: - lasso_qp/L at eps 1e-3 terminates in ~25 iterations with the
+#:   objective tight (obj_err ~6e-4) but x moving ~0.5 along the L1
+#:   problem's near-flat directions — the minimizer-set geometry at this
+#:   eps, not an accuracy loss; x is gated loosely, the objective tightly.
+#: - portfolio_qp: the reference's RELATIVE eps criterion with this
+#:   family's large residual norms vs tiny objective means an eps-1e-3
+#:   termination legitimately leaves obj_err ~1e-2..1e-1 (OSQP-C behaves
+#:   identically); swept at eps 1e-4 — below the norm mismatch, above the
+#:   measured f32 plateau (1e-5 never terminates; obj_err ~8e-4 at 1e-4).
 FAMILY_TPU = {
     "huber_qp": (1e-2, 1e-2, 2e-1),
     "ill_conditioned_qp": (1e-3, 3e-3, 5e-2),
+    "lasso_qp": (1e-3, 3e-3, 1.0),
+    "portfolio_qp": (1e-4, 3e-3, 5e-2),
 }
 # Pass thresholds: status must be Solved, and objective must match the
 # oracle to this relative tol. The chip configuration (f32 at eps 1e-3 +
