@@ -230,8 +230,7 @@ def _init_factor(P, A, sigma, loose, eq, factor0, rho_dyn):
     Rinv = lax.cond(
         reuse,
         lambda _: factor0.Rinv,
-        lambda _: _shared_inverse_warm(P, A, sigma, rho_vec, factor0.Rinv),
-        None)
+        lambda _: _shared_inverse(P, A, sigma, rho_vec), None)
     return rho_vec, rho_inv, Rinv, rho0
 
 
@@ -302,52 +301,17 @@ def _shared_inverse(P, A, sigma, rho_vec):
     return _chol_inverse(_shared_R(P, A, sigma, rho_vec))
 
 
-#: Newton-Schulz sweeps for the warm inverse update. From the optimally
-#: scaled previous inverse the error contracts as ((k'-1)/(k'+1))^(2^s)
-#: with k' = cond(R_new X_old); a 5x rho move (the adaptive_rho_tolerance
-#: trigger boundary) gives ~0.67^64 ~ 1e-11 at s=6 — far below f32 noise.
-_NS_SWEEPS = 6
-
-import os as _os
-#: escape hatch while diagnosing a relay-level execution hang
-_NS_DISABLE = _os.environ.get("TPUQP_NO_NS", "") == "1"
-
-
-def _shared_inverse_warm(P, A, sigma, rho_vec, X0):
-    """Refactorization with a warm start: Newton-Schulz from the previous
-    inverse — pure n x n GEMMs on the MXU — with an exact Cholesky fallback.
-
-    Rationale (round-5 profiling): the exact path's two n x n triangular
-    solves are SEQUENTIAL and latency-bound on TPU (~1 ms at n=128 —
-    comparable to 60 whole-batch ADMM iterations at B=4096), so every
-    in-loop rho refactorization stalled the solve. Newton-Schulz
-    ``X <- 2X - X R X`` converges quadratically from the optimally-scaled
-    previous inverse for the bounded rho moves the adaptive schedule makes;
-    the residual check routes the rare large moves (equality-boost jumps,
-    bounds reclassification) to the exact factorization."""
-    if _NS_DISABLE:
-        return _shared_inverse(P, A, sigma, rho_vec)
-    n = P.shape[0]
-    dtype = P.dtype
-    R = _shared_R(P, A, sigma, rho_vec)
-    eye = jnp.eye(n, dtype=dtype)
-    # optimal scalar rescale of the init: beta = tr(RX0)/||RX0||_F^2
-    RX = R @ X0
-    beta = jnp.trace(RX) / jnp.maximum(jnp.sum(RX * RX), 1e-30)
-    X = beta * X0
-
-    def sweep(_, X):
-        return 2.0 * X - X @ (R @ X)
-
-    X = lax.fori_loop(0, _NS_SWEEPS, sweep, X)
-    X = 0.5 * (X + X.T)
-    # per-entry backward-error gate: ||I - RX||_F / sqrt(n)
-    err = eye - R @ X
-    rms = jnp.sqrt(jnp.sum(err * err) / n)
-    tol = jnp.asarray(200.0, dtype) * jnp.finfo(dtype).eps
-    bad = jnp.any(~jnp.isfinite(X)) | (rms > tol)
-    return lax.cond(bad, lambda _: _chol_inverse(R), lambda _: X, None)
-
+#: NEGATIVE RESULT (round 5, kept as a record): Newton–Schulz warm
+#: refactorization from the previous inverse — pure MXU GEMMs replacing
+#: the exact path's two sequential n×n triangular solves — was measured a
+#: LOSS on the headline workload both ways it can be gated. Gated at
+#: machine-epsilon backward error it always falls back (the NS fixed
+#: point floors at ~kappa(R)*eps) and pays NS + exact = 1.55× slower;
+#: gated at the kappa floor (2e-2 rms) the accepted inexact inverse
+#: degrades iterate quality and adds ~40% more ADMM iterations
+#: (125 → 176 mean, clock-normalized A/B on chip). The refactorization
+#: epochs' triangular-solve latency is real, but the cure is fewer
+#: refactors (the ping-pong back-off), not a cheaper inexact inverse.
 
 @with_precision
 def solve_batch_shared(P, A, qb, lb, ub, scal: SharedScaling, dyn: DynParams,
@@ -579,7 +543,7 @@ def solve_batch_shared(P, A, qb, lb, ub, scal: SharedScaling, dyn: DynParams,
             def refactor(_):
                 rv, ri = _shared_rho_vec(loose, eq, est)
                 return (est, rv, ri,
-                        _shared_inverse_warm(P, A, dyn.sigma, rv, c.Rinv),
+                        _shared_inverse(P, A, dyn.sigma, rv),
                         c.rho_updates + 1)
 
             def keep(_):
