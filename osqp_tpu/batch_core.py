@@ -228,7 +228,8 @@ def solve_batch_scaled(sdata: QPData, scal: ScalingData, dyn: DynParams,
         # window snapshot only for lanes STILL running (a detected lane
         # keeps its pre-check snapshot so the certificate extraction in
         # _finalize sees the detection window)
-        snap = (live & do_check & (status == C.RUNNING))[:, None]
+        snap = (live & do_check & (status == C.RUNNING)
+                & (it % (check_t * 4) == 0))[:, None]
         x_prev = jnp.where(snap, x_new, c.x_prev)
         y_prev = jnp.where(snap, y_new, c.y_prev)
 
@@ -457,10 +458,11 @@ def solve_batch_fused(sdata: QPData, scal: ScalingData, dyn: DynParams,
         y_new = jnp.where(lx, y_new, c.y)
         z_new = jnp.where(lx, z_new, c.z)
         # check-window certificate deltas (chunk boundary == check here):
-        # snapshot the chunk-start iterate, not the kernel's last-iteration
-        # xp/yp — per-iteration δ cancels at f32 (see core body_fun)
-        x_prev = jnp.where(lx, c.x, c.x_prev)
-        y_prev = jnp.where(lx, c.y, c.y_prev)
+        # snapshot the start of every 4th chunk (see core body_fun for the
+        # f32 cancellation rationale and the 4x-window margin)
+        snapb = (c.it % (chunk * 4) == 0)
+        x_prev = jnp.where(lx & snapb, c.x, c.x_prev)
+        y_prev = jnp.where(lx & snapb, c.y, c.y_prev)
 
         it = c.it + K
         dx = x_new - x_prev

@@ -253,7 +253,9 @@ def _kernel(scal_ref,  # SMEM: [sigma, alpha, max_iter, check_every,
             # tests never fire — see core.solve_scaled body_fun. The
             # classification above reads the PRE-update xp/tp (the window).
             still = stats_ref[:][:, 0:1] == C.RUNNING  # post-check status
-            upd = jnp.logical_and(still, do_check)
+            do_snap = do_check & (
+                ((it0 + it) % jnp.maximum(4 * check_every, 1)) == 0)
+            upd = jnp.logical_and(still, do_snap)
             xp = jnp.where(upd, x, xp)
             tp = jnp.where(upd, t, tp)
 

@@ -438,11 +438,12 @@ def solve_batch_shared(P, A, qb, lb, ub, scal: SharedScaling, dyn: DynParams,
             x_new = jnp.where(lx, x_new, c.x)
             y_new = jnp.where(lx, y_new, c.y)
             z_new = jnp.where(lx, z_new, c.z)
-            # chunk-window certificate deltas (chunk == check cadence
-            # here): snapshot the chunk-start iterate — per-iteration
-            # deltas cancel at f32 (see core.solve_scaled body_fun)
-            x_prev = jnp.where(lx, c.x, c.x_prev)
-            y_prev = jnp.where(lx, c.y, c.y_prev)
+            # chunk-window certificate deltas: snapshot the start of
+            # every 4th chunk (see core.solve_scaled body_fun for the f32
+            # cancellation rationale and the 4x-window margin)
+            snapb = (c.it % (chunk * 4) == 0)
+            x_prev = jnp.where(lx & snapb, c.x, c.x_prev)
+            y_prev = jnp.where(lx & snapb, c.y, c.y_prev)
 
             it = c.it + K
             dx = x_new - x_prev

@@ -697,7 +697,8 @@ def solve_banded(data: BandedData, qb, lb, ub, scal: BandedScaling,
         # window snapshot only for lanes STILL running (a detected lane
         # keeps its pre-check snapshot so certificate extraction sees the
         # detection window)
-        snap = live & do_check & (status == C.RUNNING)
+        snap = (live & do_check & (status == C.RUNNING)
+                & (it % (check_t * 4) == 0))
         x_prev = jnp.where(snap[:, None, None], x_new, c.x_prev)
         y_prev = jnp.where(snap[:, None], y_new, c.y_prev)
 
